@@ -1,0 +1,45 @@
+"""detjax — TPU-native single-stage object detection in JAX.
+
+A brand-new TPU-first framework with the capabilities of the PyTorch
+reference stack ``Kai7/ObjectDetection.Pytorch`` (RetinaNet R50/R101 + FPN
+P3–P7 and an SSD-style 512 head). Not a port: everything is static-shape,
+vectorized, jit-compiled, and sharded with ``jax.sharding`` over a device
+mesh. See SURVEY.md for the full blueprint.
+
+Public API mirrors the reference's surface (model build / train step /
+detect):
+
+    >>> import detjax
+    >>> model, params = detjax.build_model("retinanet_r50_640", rng)
+    >>> state, metrics = detjax.train_step(state, batch)
+    >>> dets = detjax.detect(params, images)
+
+NOTE: the reference mount at /root/reference was empty at survey time, so
+docstrings cite SURVEY.md sections (the reconstructed blueprint) instead of
+reference file:line.
+"""
+
+from detjax.config import (
+    ModelConfig,
+    TrainConfig,
+    DataConfig,
+    EvalConfig,
+    get_config,
+    PRESETS,
+)
+from detjax.api import build_model, train_step, detect, make_train_state
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ModelConfig",
+    "TrainConfig",
+    "DataConfig",
+    "EvalConfig",
+    "get_config",
+    "PRESETS",
+    "build_model",
+    "train_step",
+    "detect",
+    "make_train_state",
+]

@@ -1,0 +1,187 @@
+"""Frozen dataclass configs with named presets for the five benchmark configs.
+
+Replaces the reference's argparse flag system (SURVEY.md §5.6: ``train.py``
+argparse ``--dataset --coco_path --depth --epochs``) with typed, hashable,
+jit-static configuration objects. Preset names map 1:1 to the driver's
+benchmark configs (BASELINE.json ``configs``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of backbone + neck + heads.
+
+    Mirrors reference capability SURVEY.md §2 #1–#5 (ResNet backbone, FPN
+    neck, cls/box heads, SSD-512 variant).
+    """
+
+    name: str = "retinanet_r50_640"
+    family: str = "retinanet"  # "retinanet" | "ssd"
+    backbone_depth: int = 50  # 50 | 101
+    image_size: Tuple[int, int] = (640, 640)  # (H, W), static
+    num_classes: int = 80
+    # FPN / pyramid
+    min_level: int = 3
+    max_level: int = 7
+    fpn_channels: int = 256
+    # Heads
+    head_channels: int = 256
+    num_head_convs: int = 4
+    # Anchors (RetinaNet defaults; SURVEY.md §2 #6)
+    anchor_scales: Tuple[float, ...] = (2 ** 0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0))
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_base_scale: float = 4.0  # base size = base_scale * stride = 2^(lvl+2)
+    # Prior-probability init for the classification head bias (SURVEY.md §3.5)
+    prior_prob: float = 0.01
+    # Box encode/decode stds (SURVEY.md §2 #9/#10)
+    box_std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    # BN semantics: frozen (inference stats, pretrained backbone) or batch
+    frozen_backbone_bn: bool = True
+    # Compute dtype on TPU; params stay fp32
+    dtype: str = "bfloat16"
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.anchor_scales) * len(self.anchor_ratios)
+
+    @property
+    def levels(self) -> Tuple[int, ...]:
+        return tuple(range(self.min_level, self.max_level + 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop hyperparameters (SURVEY.md §2 #16)."""
+
+    batch_size: int = 16
+    optimizer: str = "adam"
+    learning_rate: float = 1e-5
+    grad_clip_norm: float = 0.1
+    # ReduceLROnPlateau analog: piecewise-constant decay on plateau is not
+    # jit-friendly; we expose both plateau (host-side) and cosine schedules.
+    lr_schedule: str = "plateau"  # "plateau" | "cosine" | "constant"
+    num_epochs: int = 100
+    # Matching thresholds (SURVEY.md §2 #7)
+    fg_iou_threshold: float = 0.5
+    bg_iou_threshold: float = 0.4
+    # Losses (SURVEY.md §2 #8/#9)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_beta: float = 1.0 / 9.0
+    # Static max ground-truth boxes per image (padding with validity mask)
+    max_gt: int = 100
+    checkpoint_every_steps: int = 1000
+    eval_every_steps: int = 5000
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (SURVEY.md §2 #13–#15, §3.4)."""
+
+    dataset: str = "coco"
+    data_dir: str = ""
+    train_split: str = "train2017"
+    eval_split: str = "val2017"
+    # Fixed output shape == model image_size; pad-to-stride handled by the
+    # fixed canvas (stride 128 ⊇ stride 32 of the reference).
+    hflip_prob: float = 0.5
+    random_crop: bool = True
+    crop_min_scale: float = 0.3
+    crop_max_scale: float = 1.0
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    prefetch: int = 2
+    host_workers: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Inference / eval path (SURVEY.md §3.2, §3.3)."""
+
+    score_threshold: float = 0.05
+    nms_iou_threshold: float = 0.5
+    pre_nms_top_k: int = 1000  # per class, after score threshold
+    max_detections: int = 100  # COCO maxDets
+    batch_size: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+
+def _retinanet_r50_640() -> Config:
+    """Benchmark configs 1 & 3: RetinaNet R50+FPN @ 640."""
+    return Config(
+        model=ModelConfig(name="retinanet_r50_640", backbone_depth=50,
+                          image_size=(640, 640)),
+        train=TrainConfig(batch_size=16),
+    )
+
+
+def _ssd_512() -> Config:
+    """Benchmark config 2: SSD-style single-shot head @ 512, bs=8 infer."""
+    return Config(
+        model=ModelConfig(
+            name="ssd_512", family="ssd", backbone_depth=50,
+            image_size=(512, 512), min_level=3, max_level=7,
+        ),
+        eval=EvalConfig(batch_size=8),
+    )
+
+
+def _retinanet_r101_fpn() -> Config:
+    """Benchmark config 4: R101 multi-scale FPN P3–P7 train+eval."""
+    return Config(
+        model=ModelConfig(name="retinanet_r101_fpn", backbone_depth=101,
+                          image_size=(640, 640)),
+        train=TrainConfig(batch_size=16),
+    )
+
+
+def _coco_v5e8() -> Config:
+    """Benchmark config 5: full COCO train loop, pjit DP over v5e-8."""
+    return Config(
+        model=ModelConfig(name="coco_v5e8", backbone_depth=50,
+                          image_size=(640, 640)),
+        train=TrainConfig(batch_size=128),  # 16/chip × 8 chips
+    )
+
+
+PRESETS = {
+    "retinanet_r50_640": _retinanet_r50_640,
+    "ssd_512": _ssd_512,
+    "retinanet_r101_fpn": _retinanet_r101_fpn,
+    "coco_v5e8": _coco_v5e8,
+}
+
+
+def get_config(name: str, **overrides) -> Config:
+    """Build a preset config; ``overrides`` use dotted keys, e.g.
+    ``get_config("retinanet_r50_640", **{"train.batch_size": 8})``."""
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]()
+    if not overrides:
+        return cfg
+    groups: dict = {"model": {}, "train": {}, "data": {}, "eval": {}}
+    for key, val in overrides.items():
+        group, _, field = key.partition(".")
+        if group not in groups or not field:
+            raise ValueError(f"override key must be '<group>.<field>', got {key!r}")
+        groups[group][field] = val
+    return Config(
+        model=dataclasses.replace(cfg.model, **groups["model"]),
+        train=dataclasses.replace(cfg.train, **groups["train"]),
+        data=dataclasses.replace(cfg.data, **groups["data"]),
+        eval=dataclasses.replace(cfg.eval, **groups["eval"]),
+    )

@@ -1,0 +1,111 @@
+"""Focal + smooth-L1 losses, fully vectorized (SURVEY.md §2 #8/#9).
+
+The reference computes these inside ``FocalLoss.forward`` with a per-image
+Python loop (SURVEY.md §3.1); here they are masked batched ops over the
+static ``[B, A]`` anchor grid, differentiable end-to-end and fused by XLA
+into the backward pass of the heads.
+
+Conventions (lineage-standard):
+  - focal: sigmoid per-class, α = 0.25, γ = 2.0; background = all-zero
+    one-hot; ignored anchors contribute 0; per-image sum normalized by
+    max(#positives, 1); mean over batch.
+  - smooth-L1: on std-normalized deltas of positive anchors, β = 1/9;
+    per-image mean over positive anchor-coords (0 if no positives); mean
+    over batch.
+Numerics: computed from logits with log-sigmoid (stable) rather than the
+lineage's clamp(p, 1e-4); the torch replica in tests/torch_ref mirrors this
+exact formulation for bitwise diffing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from detjax.ops.boxes import encode_boxes, DEFAULT_BOX_STD
+from detjax.ops.matching import MatchResult, match_anchors
+
+Array = jnp.ndarray
+
+
+def focal_loss(
+    logits: Array,  # [..., A, K]
+    matched_labels: Array,  # [..., A] int32; class for positives, -1 else
+    positive: Array,  # [..., A] bool
+    negative: Array,  # [..., A] bool
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> Array:
+    """Per-image focal loss, normalized by #positives. Returns [...] floats."""
+    k = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    # One-hot targets; label -1 (non-positive) → all-zero row.
+    targets = jax.nn.one_hot(matched_labels, k, dtype=jnp.float32)  # [..., A, K]
+    p = jax.nn.sigmoid(logits)
+    # Stable BCE from logits: log(p) = -softplus(-x), log(1-p) = -softplus(x)
+    ce = targets * jax.nn.softplus(-logits) + (1.0 - targets) * jax.nn.softplus(logits)
+    p_t = targets * p + (1.0 - targets) * (1.0 - p)
+    alpha_t = targets * alpha + (1.0 - targets) * (1.0 - alpha)
+    loss = alpha_t * jnp.power(1.0 - p_t, gamma) * ce  # [..., A, K]
+    weight = (positive | negative).astype(jnp.float32)  # ignore-zone anchors drop out
+    loss = loss * weight[..., None]
+    num_pos = jnp.maximum(jnp.sum(positive.astype(jnp.float32), axis=-1), 1.0)
+    return jnp.sum(loss, axis=(-2, -1)) / num_pos
+
+
+def smooth_l1_loss(
+    reg: Array,  # [..., A, 4] predicted deltas
+    reg_targets: Array,  # [..., A, 4] encoded GT deltas
+    positive: Array,  # [..., A] bool
+    beta: float = 1.0 / 9.0,
+) -> Array:
+    """Per-image smooth-L1 over positive anchors. Returns [...] floats."""
+    reg = reg.astype(jnp.float32)
+    diff = jnp.abs(reg - reg_targets.astype(jnp.float32))
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    pos = positive.astype(jnp.float32)[..., None]
+    num = jnp.sum(loss * pos, axis=(-2, -1))
+    den = jnp.maximum(jnp.sum(pos, axis=(-2, -1)) * 4.0, 1.0)  # pos anchors × 4 coords
+    return num / den  # per-element mean over positives (lineage ``.mean()``)
+
+
+class DetectionLossOutput(NamedTuple):
+    cls_loss: Array  # scalar
+    reg_loss: Array  # scalar
+    metrics: Dict[str, Array]
+
+
+def detection_loss(
+    cls_logits: Array,  # [B, A, K]
+    reg_preds: Array,  # [B, A, 4]
+    anchors: Array,  # [A, 4]
+    gt_boxes: Array,  # [B, G, 4]
+    gt_labels: Array,  # [B, G] int32, -1 padding
+    fg_iou_threshold: float = 0.5,
+    bg_iou_threshold: float = 0.4,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    beta: float = 1.0 / 9.0,
+    box_std: Sequence[float] = DEFAULT_BOX_STD,
+) -> DetectionLossOutput:
+    """End-to-end training loss: match → focal + smooth-L1, batched.
+
+    This is the vectorized replacement for the whole reference
+    ``FocalLoss(cls, reg, anchors, annot)`` call (SURVEY.md §3.1), one jit
+    region, no host sync.
+    """
+    m: MatchResult = match_anchors(
+        anchors, gt_boxes, gt_labels, fg_iou_threshold, bg_iou_threshold
+    )
+    cls = focal_loss(cls_logits, m.matched_labels, m.positive, m.negative,
+                     alpha, gamma)  # [B]
+    reg_targets = encode_boxes(m.matched_boxes, anchors[None, :, :], box_std)
+    reg = smooth_l1_loss(reg_preds, reg_targets, m.positive, beta)  # [B]
+    metrics = {
+        "num_pos": jnp.sum(m.positive.astype(jnp.float32)) / cls.shape[0],
+        "cls_loss": jnp.mean(cls),
+        "reg_loss": jnp.mean(reg),
+    }
+    return DetectionLossOutput(jnp.mean(cls), jnp.mean(reg), metrics)

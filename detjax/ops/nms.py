@@ -1,0 +1,146 @@
+"""Class-aware NMS and the fused detect postprocess (SURVEY.md §2 #12, §3.2).
+
+The reference's eval branch loops over classes in Python and calls
+torchvision's C++/CUDA ``nms`` per class, syncing to host each image
+(SURVEY.md §3.2 "★ PYTHON LOOP over classes"). Here the whole pipeline —
+score threshold → per-class top-k prefilter → per-class greedy NMS →
+global top-k — is ONE static-shape jit region that never leaves the chip.
+Classes are vmapped; the greedy suppression is a ``lax.fori_loop`` whose
+body is pure vector work on the VPU. A Pallas kernel variant lives in
+``detjax.kernels``; this lax version is the bit-exact correctness anchor.
+
+Semantics match torchvision ``nms``: greedy descending-score suppression at
+``iou > threshold``, ties broken by lower input index.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from detjax.ops.boxes import box_iou
+
+Array = jnp.ndarray
+
+NEG_INF = -1e10
+
+
+class NMSResult(NamedTuple):
+    indices: Array  # [max_output] int32 into the input, -1 padding
+    scores: Array  # [max_output] float, 0 padding
+    num_valid: Array  # [] int32
+
+
+def nms_single_class(
+    boxes: Array,  # [N, 4] xyxy
+    scores: Array,  # [N]; entries <= NEG_INF/2 are pre-suppressed
+    iou_threshold: float = 0.5,
+    max_output: int = 100,
+) -> NMSResult:
+    """Greedy NMS with static output size.
+
+    Iterative argmax-suppress: ``max_output`` sequential steps, each a
+    vectorized IoU row against all N boxes. Equivalent keep-set and order to
+    sort-then-scan greedy NMS (torchvision semantics).
+    """
+    n = boxes.shape[0]
+    boxes = boxes.astype(jnp.float32)
+    live = scores.astype(jnp.float32)
+
+    def body(i, state):
+        live, out_idx, out_scores = state
+        best = jnp.argmax(live)
+        best_score = live[best]
+        valid = best_score > NEG_INF / 2
+        out_idx = out_idx.at[i].set(jnp.where(valid, best.astype(jnp.int32), -1))
+        out_scores = out_scores.at[i].set(jnp.where(valid, best_score, 0.0))
+        iou = box_iou(boxes[best][None, :], boxes)[0]  # [N]
+        suppress = (iou > iou_threshold) | (
+            jnp.arange(n, dtype=jnp.int32) == best.astype(jnp.int32)
+        )
+        live = jnp.where(valid & suppress, NEG_INF, live)
+        return live, out_idx, out_scores
+
+    out_idx = jnp.full((max_output,), -1, dtype=jnp.int32)
+    out_scores = jnp.zeros((max_output,), dtype=jnp.float32)
+    live, out_idx, out_scores = jax.lax.fori_loop(
+        0, max_output, body, (live, out_idx, out_scores)
+    )
+    return NMSResult(out_idx, out_scores, jnp.sum(out_idx >= 0).astype(jnp.int32))
+
+
+class Detections(NamedTuple):
+    """Final static-shape detections for a batch (or single image)."""
+
+    boxes: Array  # [..., D, 4] xyxy
+    scores: Array  # [..., D]
+    labels: Array  # [..., D] int32, -1 padding
+    num_valid: Array  # [...] int32
+
+
+def class_aware_nms(
+    boxes: Array,  # [A, 4] class-agnostic decoded boxes
+    scores: Array,  # [A, K] per-class probabilities
+    score_threshold: float = 0.05,
+    iou_threshold: float = 0.5,
+    pre_nms_top_k: int = 1000,
+    max_detections: int = 100,
+    per_class_max: int = 100,
+) -> Detections:
+    """Class-aware NMS for one image (SURVEY.md §3.2 TPU replacement).
+
+    Per class: threshold → top-``pre_nms_top_k`` prefilter → greedy NMS
+    keeping ``per_class_max`` → pool all classes → global top
+    ``max_detections`` by score.
+    """
+    a, k = scores.shape
+    pre_k = min(pre_nms_top_k, a)
+    scores_t = scores.T.astype(jnp.float32)  # [K, A]
+    scores_t = jnp.where(scores_t > score_threshold, scores_t, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores_t, pre_k)  # [K, pre_k]
+    top_boxes = boxes[top_idx]  # [K, pre_k, 4]
+
+    res = jax.vmap(
+        lambda b, s: nms_single_class(b, s, iou_threshold, per_class_max)
+    )(top_boxes, top_scores)  # indices [K, per_class_max] into pre_k
+
+    # Map per-class NMS survivors back to anchor indices, pool, global top-k.
+    valid = res.indices >= 0  # [K, per_class_max]
+    safe = jnp.maximum(res.indices, 0)
+    anchor_idx = jnp.take_along_axis(top_idx, safe, axis=1)  # [K, per_class_max]
+    pooled_scores = jnp.where(valid, res.scores, NEG_INF).reshape(-1)
+    pooled_boxes = top_boxes[
+        jnp.arange(k, dtype=jnp.int32)[:, None], safe
+    ].reshape(-1, 4)
+    pooled_labels = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[:, None], (k, res.indices.shape[1])
+    ).reshape(-1)
+    del anchor_idx  # kept for clarity; boxes already gathered
+
+    d = min(max_detections, pooled_scores.shape[0])
+    final_scores, sel = jax.lax.top_k(pooled_scores, d)
+    keep = final_scores > NEG_INF / 2
+    return Detections(
+        boxes=jnp.where(keep[:, None], pooled_boxes[sel], 0.0),
+        scores=jnp.where(keep, final_scores, 0.0),
+        labels=jnp.where(keep, pooled_labels[sel], -1),
+        num_valid=jnp.sum(keep).astype(jnp.int32),
+    )
+
+
+def batched_detect_postprocess(
+    boxes: Array,  # [B, A, 4] decoded + clipped boxes
+    scores: Array,  # [B, A, K] per-class probabilities
+    score_threshold: float = 0.05,
+    iou_threshold: float = 0.5,
+    pre_nms_top_k: int = 1000,
+    max_detections: int = 100,
+) -> Detections:
+    """vmap of :func:`class_aware_nms` over the batch dim."""
+    return jax.vmap(
+        lambda b, s: class_aware_nms(
+            b, s, score_threshold, iou_threshold, pre_nms_top_k, max_detections
+        )
+    )(boxes, scores)

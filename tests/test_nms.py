@@ -1,0 +1,110 @@
+"""NMS tests: numpy-reference differential (keep set + order) and the fused
+class-aware postprocess (SURVEY.md §2 #12, §4.1)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from detjax.ops.nms import nms_single_class, class_aware_nms, batched_detect_postprocess
+from tests.np_ref import nms_np
+
+
+def _boxes_scores(rng, n, span=200.0):
+    xy = rng.uniform(0, span, (n, 2))
+    wh = rng.uniform(10, 80, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, (n,)).astype(np.float32)
+    return boxes, scores
+
+
+def test_nms_golden():
+    boxes = np.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],   # heavy overlap with 0
+        [50, 50, 60, 60],
+        [0, 0, 10, 10],   # duplicate of 0, lower score
+    ], dtype=np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.85], dtype=np.float32)
+    r = nms_single_class(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 4)
+    idx = np.asarray(r.indices)
+    assert list(idx[idx >= 0]) == [0, 2]
+    assert int(r.num_valid) == 2
+
+
+def test_nms_vs_numpy_keep_order(rng):
+    for trial in range(5):
+        boxes, scores = _boxes_scores(rng, 60)
+        want = nms_np(boxes, scores, 0.5, max_output=20)
+        r = nms_single_class(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 20)
+        got = [int(i) for i in np.asarray(r.indices) if i >= 0]
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_nms_ties_break_by_index():
+    boxes = np.array([[0, 0, 10, 10], [100, 100, 110, 110]], dtype=np.float32)
+    scores = np.array([0.5, 0.5], dtype=np.float32)
+    r = nms_single_class(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 2)
+    assert list(np.asarray(r.indices)) == [0, 1]
+
+
+def test_class_aware_nms_basic():
+    boxes = np.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],
+        [50, 50, 60, 60],
+    ], dtype=np.float32)
+    # class 0: boxes 0&1 overlap, keep higher; class 1: box 2
+    scores = np.array([
+        [0.9, 0.01],
+        [0.8, 0.01],
+        [0.01, 0.7],
+    ], dtype=np.float32)
+    det = class_aware_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                          score_threshold=0.05, max_detections=10)
+    n = int(det.num_valid)
+    assert n == 2
+    got = {(int(l), round(float(s), 4)) for l, s in
+           zip(np.asarray(det.labels[:n]), np.asarray(det.scores[:n]))}
+    assert got == {(0, 0.9), (1, 0.7)}
+
+
+def test_class_aware_nms_vs_numpy(rng):
+    n, k = 120, 6
+    boxes, _ = _boxes_scores(rng, n)
+    scores = rng.uniform(0, 1, (n, k)).astype(np.float32)
+    det = class_aware_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                          score_threshold=0.05, iou_threshold=0.5,
+                          pre_nms_top_k=n, max_detections=n * k,
+                          per_class_max=n)
+    nv = int(det.num_valid)
+    got = sorted(
+        (int(det.labels[i]), round(float(det.scores[i]), 5),
+         tuple(np.round(np.asarray(det.boxes[i]), 3)))
+        for i in range(nv)
+    )
+    want = []
+    for c in range(k):
+        mask = scores[:, c] > 0.05
+        idxs = np.where(mask)[0]
+        keep = nms_np(boxes[idxs], scores[idxs, c], 0.5)
+        for i in keep:
+            gi = idxs[i]
+            want.append((c, round(float(scores[gi, c]), 5),
+                         tuple(np.round(boxes[gi], 3))))
+    assert got == sorted(want)
+
+
+def test_batched_postprocess_shapes(rng):
+    b, a, k, d = 3, 50, 4, 10
+    boxes = np.tile(_boxes_scores(rng, a)[0][None], (b, 1, 1))
+    scores = rng.uniform(0, 1, (b, a, k)).astype(np.float32)
+    det = batched_detect_postprocess(jnp.asarray(boxes), jnp.asarray(scores),
+                                     max_detections=d, pre_nms_top_k=a)
+    assert det.boxes.shape == (b, d, 4)
+    assert det.scores.shape == (b, d)
+    assert det.labels.shape == (b, d)
+    assert det.num_valid.shape == (b,)
+    # scores sorted descending within each image
+    s = np.asarray(det.scores)
+    for i in range(b):
+        nv = int(det.num_valid[i])
+        assert (np.diff(s[i, :nv]) <= 1e-6).all()
