@@ -1,0 +1,83 @@
+"""Model build + fused inference path (benchmark configs 1 & 2).
+
+``detect`` is the TPU replacement for the reference's eval branch
+(SURVEY.md §3.2): backbone → FPN → heads → sigmoid → box decode → clip →
+class-aware NMS → top-k, ONE jit region, postprocessing never leaves the
+chip. Anchors are trace-time constants (detjax.ops.anchors).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detjax.config import Config, get_config
+from detjax.models.detector import Detector, build_detector
+from detjax.ops.anchors import AnchorConfig, anchors_for_shape
+from detjax.ops.boxes import clip_boxes, decode_boxes
+from detjax.ops.nms import Detections, batched_detect_postprocess
+
+
+def anchor_config(cfg: Config) -> AnchorConfig:
+    m = cfg.model
+    return AnchorConfig(
+        min_level=m.min_level, max_level=m.max_level,
+        scales=m.anchor_scales, ratios=m.anchor_ratios,
+        base_scale=m.anchor_base_scale)
+
+
+def build_model(preset: str, rng: Any = None, **overrides):
+    """Mirror of the reference's model build (SURVEY.md §0.11).
+
+    Returns ``(module, variables)`` — the functional analog of
+    ``model = resnet50(num_classes, pretrained=True)``.
+    """
+    cfg = preset if isinstance(preset, Config) else get_config(preset, **overrides)
+    module = build_detector(cfg.model)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    h, w = cfg.model.image_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = jax.jit(module.init, static_argnames=("train",))(
+        rng, dummy, train=False)
+    return module, variables
+
+
+@functools.lru_cache(maxsize=8)
+def _detect_fn(cfg: Config):
+    """Compile-once fused detect step for a config (hashable dataclass)."""
+    module = build_detector(cfg.model)
+    anchors_np = anchors_for_shape(cfg.model.image_size, anchor_config(cfg))
+    e = cfg.eval
+
+    @jax.jit
+    def run(variables, images) -> Detections:
+        anchors = jnp.asarray(anchors_np)
+        cls_logits, box_deltas = module.apply(variables, images, train=False)
+        scores = jax.nn.sigmoid(cls_logits)  # [B, A, K]
+        boxes = decode_boxes(box_deltas, anchors[None], cfg.model.box_std)
+        boxes = clip_boxes(boxes, cfg.model.image_size)
+        return batched_detect_postprocess(
+            boxes, scores,
+            score_threshold=e.score_threshold,
+            iou_threshold=e.nms_iou_threshold,
+            pre_nms_top_k=e.pre_nms_top_k,
+            max_detections=e.max_detections)
+
+    return run
+
+
+def detect(variables, images, preset: str = "retinanet_r50_640",
+           **overrides) -> Detections:
+    """End-to-end batched inference; images [B,H,W,3] normalized NHWC.
+
+    Returns static-shape :class:`Detections` (boxes/scores/labels/num_valid).
+    """
+    cfg = preset if isinstance(preset, Config) else get_config(preset, **overrides)
+    if images.ndim == 3:
+        images = images[None]
+    return _detect_fn(cfg)(variables, images)

@@ -1,0 +1,59 @@
+"""Full detector assembly: backbone → FPN → head (SURVEY.md §1 model layer).
+
+``Detector.__call__`` returns raw ``(cls_logits, box_deltas)`` in float32 —
+loss attachment (train) and decode+NMS (eval) live OUTSIDE the module as
+pure functions (detjax.train.step / detjax.modeling), which is the
+functional-JAX analog of the reference's loss-inside-forward design
+(SURVEY.md §1 "distinctive design trait").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from detjax.config import ModelConfig
+from detjax.models.fpn import FPN
+from detjax.models.heads import RetinaNetHead, SSDHead
+from detjax.models.resnet import ResNet
+
+Array = jnp.ndarray
+
+
+class Detector(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, images: Array, train: bool = False) -> Tuple[Array, Array]:
+        """images [B, H, W, 3] normalized NHWC → (cls [B,ΣA,K], box [B,ΣA,4])."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        stage_sizes = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[cfg.backbone_depth]
+        feats = ResNet(stage_sizes=stage_sizes, dtype=dtype,
+                       frozen_bn=cfg.frozen_backbone_bn,
+                       name="backbone")(images, train=train)
+        feats = {l: f for l, f in feats.items() if l >= cfg.min_level}
+        pyramid = FPN(min_level=cfg.min_level, max_level=cfg.max_level,
+                      channels=cfg.fpn_channels, dtype=dtype,
+                      name="fpn")(feats)
+        if cfg.family == "retinanet":
+            head = RetinaNetHead(
+                num_classes=cfg.num_classes,
+                anchors_per_cell=cfg.num_anchors_per_cell,
+                channels=cfg.head_channels, num_convs=cfg.num_head_convs,
+                prior_prob=cfg.prior_prob, dtype=dtype, name="head")
+        elif cfg.family == "ssd":
+            head = SSDHead(
+                num_classes=cfg.num_classes,
+                anchors_per_cell=cfg.num_anchors_per_cell,
+                prior_prob=cfg.prior_prob, dtype=dtype, name="head")
+        else:
+            raise ValueError(f"unknown model family {cfg.family!r}")
+        cls_logits, box_deltas = head(pyramid)
+        return cls_logits.astype(jnp.float32), box_deltas.astype(jnp.float32)
+
+
+def build_detector(cfg: ModelConfig) -> Detector:
+    return Detector(cfg=cfg)

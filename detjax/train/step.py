@@ -1,0 +1,126 @@
+"""Jitted training step (benchmark config 3; SURVEY.md §3.1 hot loop).
+
+The reference's inner loop — forward, FocalLoss with a per-image Python
+matching loop, backward, ``clip_grad_norm_(0.1)``, Adam(lr=1e-5) — becomes
+ONE pure jitted function: matching/losses are vectorized on-device
+(detjax.ops), gradient clipping and the optimizer are optax transforms
+fused into the same XLA program, and buffers are donated so params update
+in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+
+from detjax.config import Config, get_config
+from detjax.models.detector import build_detector
+from detjax.modeling import anchor_config, build_model
+from detjax.ops.anchors import anchors_for_shape
+from detjax.ops.losses import detection_loss
+
+Array = jnp.ndarray
+Batch = Dict[str, Array]  # images [B,H,W,3], gt_boxes [B,G,4], gt_labels [B,G]
+
+
+class TrainState(struct.PyTreeNode):
+    """Functional train state: the analog of (model, optimizer) in the
+    reference's loop, as one donated PyTree."""
+
+    step: Array
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    cfg: Config = struct.field(pytree_node=False)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam(1e-5) + global-norm clip 0.1 (SURVEY.md §2 #16).
+
+    Note the reference clips grads THEN steps Adam; optax chain order
+    matches: clip first, then the optimizer update.
+    """
+    t = cfg.train
+    if t.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(t.learning_rate, 10_000_000)
+    else:  # "plateau" is driven host-side via scale_by_plateau analog;
+        # inside the step we use the base lr (constant) — see loop.py.
+        lr = t.learning_rate
+    opt = {
+        "adam": optax.adam(lr),
+        "sgd": optax.sgd(lr, momentum=0.9),
+        "adamw": optax.adamw(lr),
+    }[t.optimizer]
+    return optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)
+
+
+def make_train_state(preset, rng: Any = None, **overrides) -> TrainState:
+    cfg = preset if isinstance(preset, Config) else get_config(preset, **overrides)
+    module, variables = build_model(cfg, rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        cfg=cfg,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def make_train_step(cfg: Config):
+    """Compile-once train step for a config. Donates the state buffer."""
+    module = build_detector(cfg.model)
+    anchors_np = anchors_for_shape(cfg.model.image_size, anchor_config(cfg))
+    t = cfg.train
+    update_bn = not cfg.model.frozen_backbone_bn
+
+    def loss_fn(params, batch_stats, batch: Batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if update_bn:
+            (cls, box), mutated = module.apply(
+                variables, batch["images"], train=True,
+                mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            cls, box = module.apply(variables, batch["images"], train=True)
+            new_stats = batch_stats
+        out = detection_loss(
+            cls, box, jnp.asarray(anchors_np),
+            batch["gt_boxes"], batch["gt_labels"],
+            fg_iou_threshold=t.fg_iou_threshold,
+            bg_iou_threshold=t.bg_iou_threshold,
+            alpha=t.focal_alpha, gamma=t.focal_gamma, beta=t.smooth_l1_beta,
+            box_std=cfg.model.box_std)
+        return out.cls_loss + out.reg_loss, (new_stats, out.metrics)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, Array]]:
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params,
+            batch_stats=new_stats, opt_state=opt_state)
+        return new_state, metrics
+
+    return step
+
+
+def train_step(state: TrainState, batch: Batch):
+    """Public mirror of the reference's per-iteration update (SURVEY.md §0.11)."""
+    return make_train_step(state.cfg)(state, batch)

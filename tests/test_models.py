@@ -1,0 +1,88 @@
+"""Model stack tests: shapes, anchor-order contract, init semantics, jit
+(SURVEY.md §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detjax.config import get_config
+from detjax.modeling import anchor_config, build_model
+from detjax.ops.anchors import num_anchors
+
+SMALL = {"model.image_size": (128, 128)}
+
+
+@pytest.fixture(scope="module")
+def r50_small():
+    cfg = get_config("retinanet_r50_640", **SMALL)
+    module, variables = build_model(cfg, jax.random.PRNGKey(0))
+    return cfg, module, variables
+
+
+def test_output_shapes_match_anchors(r50_small):
+    cfg, module, variables = r50_small
+    x = jnp.zeros((2, 128, 128, 3))
+    cls, box = module.apply(variables, x, train=False)
+    a = num_anchors((128, 128), anchor_config(cfg))
+    assert cls.shape == (2, a, 80)
+    assert box.shape == (2, a, 4)
+    assert cls.dtype == jnp.float32
+
+
+def test_prior_prob_init(r50_small):
+    cfg, module, variables = r50_small
+    x = jnp.zeros((1, 128, 128, 3))
+    cls, _ = module.apply(variables, x, train=False)
+    p = jax.nn.sigmoid(np.asarray(cls))
+    # prior-prob init (SURVEY.md §3.5): mean prob ≈ π = 0.01 at init
+    assert 0.002 < p.mean() < 0.05
+
+
+def test_param_count_r50(r50_small):
+    _, _, variables = r50_small
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+    # RetinaNet-R50: ~38M (backbone 23.5M + FPN + heads); lineage-typical
+    assert 35e6 < n < 42e6
+
+
+def test_ssd_head_variant():
+    cfg = get_config("ssd_512", **{"model.image_size": (128, 128)})
+    module, variables = build_model(cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 128, 128, 3))
+    cls, box = module.apply(variables, x, train=False)
+    a = num_anchors((128, 128), anchor_config(cfg))
+    assert cls.shape == (1, a, 80)
+    assert box.shape == (1, a, 4)
+
+
+def test_r101_builds():
+    cfg = get_config("retinanet_r101_fpn", **SMALL)
+    module, variables = build_model(cfg, jax.random.PRNGKey(0))
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+    assert n > 50e6  # R101 backbone is ~42.5M alone
+
+
+def test_frozen_bn_no_stat_updates(r50_small):
+    cfg, module, variables = r50_small
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128, 3))
+    _, mutated = module.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_forward_jit_no_retrace(r50_small):
+    import chex
+    cfg, module, variables = r50_small
+
+    @jax.jit
+    @chex.assert_max_traces(n=1)
+    def f(v, x):
+        return module.apply(v, x, train=False)
+
+    for i in range(2):
+        x = jnp.full((1, 128, 128, 3), float(i))
+        cls, box = f(variables, x)
+    assert np.isfinite(np.asarray(cls)).all()

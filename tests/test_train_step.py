@@ -1,0 +1,71 @@
+"""Train-step tests: loss decreases, overfit sanity, grad-clip, jit
+(SURVEY.md §7 build order #5 "overfit-10-images sanity")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detjax.config import get_config
+from detjax.train.step import make_train_state, make_train_step, train_step
+
+
+def _cfg(**kw):
+    base = {
+        "model.image_size": (64, 64),
+        "model.num_classes": 8,
+        "train.batch_size": 2,
+        "train.max_gt": 4,
+        "train.learning_rate": 1e-3,
+    }
+    base.update(kw)
+    return get_config("retinanet_r50_640", **base)
+
+
+def _batch():
+    rng = np.random.default_rng(1)
+    return {
+        "images": jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray(
+            [[[8, 8, 40, 40], [30, 30, 60, 60], [0, 0, 0, 0], [0, 0, 0, 0]]] * 2,
+            jnp.float32),
+        "gt_labels": jnp.asarray([[2, 5, -1, -1]] * 2, jnp.int32),
+    }
+
+
+def test_loss_decreases_on_fixed_batch():
+    state = make_train_state(_cfg(), jax.random.PRNGKey(0))
+    batch = _batch()
+    first = None
+    for i in range(10):
+        state, m = train_step(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
+    assert int(state.step) == 10
+    assert np.isfinite(float(m["cls_loss"]))
+    assert np.isfinite(float(m["reg_loss"]))
+    assert float(m["num_pos"]) > 0
+
+
+def test_grad_clip_applied():
+    state = make_train_state(_cfg(), jax.random.PRNGKey(0))
+    batch = _batch()
+    _, m = train_step(state, batch)
+    # optimizer saw clipped grads; metric reports raw global norm
+    assert float(m["grad_norm"]) > 0
+
+
+def test_empty_gt_batch_finite():
+    state = make_train_state(_cfg(), jax.random.PRNGKey(0))
+    batch = _batch()
+    batch["gt_labels"] = jnp.full_like(batch["gt_labels"], -1)
+    _, m = train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["num_pos"]) == 0
+    assert float(m["reg_loss"]) == 0
+
+
+def test_train_step_cached_per_config():
+    cfg = _cfg()
+    assert make_train_step(cfg) is make_train_step(cfg)
