@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): images/sec/chip at RetinaNet-R50 640px.
+We measure the training step (config 3: bs=16, anchor matching + focal +
+smooth-L1, full backward + adam) on the real chip; inference (config 1
+path: fused decode+NMS, bs=8) is measured too and folded into the same
+line's detail fields.
+
+``vs_baseline``: no published reference numbers exist (BASELINE.md —
+reference mount empty, ``published: {}``). The north star is ≥4× A100-
+PyTorch images/sec/chip; we use a documented ASSUMED A100 baseline of
+75 train-img/s (lineage RetinaNet-R50 @640, AMP, bs16 — see BASELINE.md),
+so vs_baseline = value / (4 × 75): ≥1.0 means the north-star target is met.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+ASSUMED_A100_TRAIN_IMG_S = 75.0
+NORTH_STAR_MULT = 4.0
+
+
+def _force(x) -> float:
+    """Host-fetch a scalar: the only reliable sync under the axon tunnel
+    (block_until_ready returns before remote execution completes there)."""
+    import numpy as np
+
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from detjax.config import get_config
+    from detjax.modeling import _detect_fn
+    from detjax.train.step import make_train_state, make_train_step
+
+    # ---- train throughput: config 3 (R50 @640, bs=16) ----
+    cfg = get_config("retinanet_r50_640")
+    bs = cfg.train.batch_size
+    h, w = cfg.model.image_size
+    rng = np.random.default_rng(0)
+    g = cfg.train.max_gt
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([
+                np.tile(np.array([[[50, 50, 300, 300], [200, 200, 500, 500]]],
+                                 np.float32), (bs, 1, 1)),
+                np.zeros((bs, g - 2, 4), np.float32)], axis=1)),
+        "gt_labels": jnp.asarray(
+            np.concatenate([
+                np.tile(np.array([[3, 7]], np.int32), (bs, 1)),
+                -np.ones((bs, g - 2), np.int32)], axis=1)),
+    }
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+
+    def train_once(state_and_m):
+        s, _ = state_and_m
+        return step(s, batch)
+
+    # warmup/compile, then timed loop; steps chain through the donated
+    # state, so ONE host fetch at the end forces the whole sequence.
+    s, m = step(state, batch)
+    _force(m["loss"])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, m = step(s, batch)
+    _force(m["loss"])
+    train_img_s = bs * iters / (time.perf_counter() - t0)
+
+    # ---- inference throughput: fused detect @640, bs=8 ----
+    infer_bs = 8
+    images = jnp.asarray(rng.normal(0, 1, (infer_bs, h, w, 3)), jnp.float32)
+    variables = {"params": s.params, "batch_stats": s.batch_stats}
+    dfn = _detect_fn(cfg)
+    d = dfn(variables, images)
+    _force(d.scores.sum())
+    acc = []
+    t0 = time.perf_counter()
+    for _ in range(20):
+        d = dfn(variables, images)
+        acc.append(d.scores[0, 0])  # cheap handle per call
+    _force(jnp.stack(acc).sum())  # forces every call
+    dt = (time.perf_counter() - t0) / 20
+    infer_img_s = infer_bs / dt
+
+    n_chips = 1  # single-chip benchmark box
+    value = train_img_s / n_chips
+    result = {
+        "metric": "train images/sec/chip, RetinaNet-R50 640px (bs=16, "
+                  "matching+focal+smoothL1+adam); infer images/sec/chip "
+                  f"(bs=8, fused decode+NMS) = {infer_img_s:.1f}",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / (ASSUMED_A100_TRAIN_IMG_S * NORTH_STAR_MULT), 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

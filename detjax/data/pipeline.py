@@ -1,0 +1,189 @@
+"""Batching, prefetch, and on-device augmentation (SURVEY.md §3.4 →
+"fused device input stream").
+
+Host side stays minimal (decode + letterbox to a fixed uint8 canvas + GT
+padding — cheap, single-core friendly); photometric normalize + random
+horizontal flip are jitted ON DEVICE (``device_augment``) so the HBM-bound
+work fuses into the train step and the H2D transfer moves uint8 (4× fewer
+bytes than fp32). A one-deep device prefetch overlaps the next batch's H2D
+copy with the current step's compute.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detjax.config import Config
+from detjax.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    letterbox,
+    pad_annotations,
+    random_crop,
+)
+
+Array = jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("hflip_prob",))
+def device_augment(
+    images_u8: Array,  # [B, H, W, 3] uint8
+    gt_boxes: Array,  # [B, G, 4]
+    rng: Array,  # PRNGKey
+    hflip_prob: float = 0.5,
+) -> Tuple[Array, Array]:
+    """Normalize + random per-image horizontal flip, fused on device.
+
+    Fusing here (instead of DataLoader workers as the reference does,
+    SURVEY.md §3.4) keeps the input stream on-chip: uint8 H2D → one
+    elementwise fusion on the VPU.
+    """
+    b, h, w, _ = images_u8.shape
+    x = images_u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    x = (x - mean) / std
+    if hflip_prob > 0:
+        flip = jax.random.bernoulli(rng, hflip_prob, (b,))
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        flipped = jnp.stack([
+            w - gt_boxes[..., 2], gt_boxes[..., 1],
+            w - gt_boxes[..., 0], gt_boxes[..., 3]], axis=-1)
+        gt_boxes = jnp.where(flip[:, None, None], flipped, gt_boxes)
+    return x, gt_boxes
+
+
+class DetectionIterator:
+    """Fixed-shape batches from a record dataset, with background prefetch.
+
+    Yields ``{"images": u8 [B,H,W,3], "gt_boxes": [B,G,4],
+    "gt_labels": [B,G], "image_id": [B], "scale": [B]}`` numpy batches.
+    """
+
+    def __init__(self, dataset, batch_size: int, image_size: Tuple[int, int],
+                 max_gt: int = 100, shuffle: bool = True, repeat: bool = True,
+                 seed: int = 0, crop: bool = False,
+                 crop_range: Tuple[float, float] = (0.3, 1.0),
+                 drop_remainder: bool = True, prefetch: int = 2):
+        self.ds = dataset
+        self.bs = batch_size
+        self.hw = image_size
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.repeat = repeat
+        self.seed = seed
+        self.crop = crop
+        self.crop_range = crop_range
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+
+    def _record_to_example(self, rec: dict, rng: np.random.Generator) -> dict:
+        img, boxes, labels = rec["image"], rec["boxes"], rec["labels"]
+        if self.crop and rng.random() < 0.5:
+            img, boxes, labels = random_crop(
+                img, boxes, labels, rng, *self.crop_range)
+        canvas, boxes, scale = letterbox(img, boxes, self.hw)
+        pb, pl = pad_annotations(boxes, labels, self.max_gt)
+        return {"images": canvas, "gt_boxes": pb, "gt_labels": pl,
+                "image_id": rec["image_id"], "scale": scale}
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def _gen(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = 0
+        while True:
+            order = self._epoch_order(epoch)
+            rng = np.random.default_rng((self.seed, epoch))
+            buf = []
+            for i in order:
+                buf.append(self._record_to_example(self.ds[int(i)], rng))
+                if len(buf) == self.bs:
+                    yield self._stack(buf)
+                    buf = []
+            if buf and not self.drop_remainder:
+                # pad the final partial batch by repeating the last example
+                while len(buf) < self.bs:
+                    filler = dict(buf[-1])
+                    filler["image_id"] = -1  # marks padding for eval
+                    buf.append(filler)
+                yield self._stack(buf)
+            epoch += 1
+            if not self.repeat:
+                return
+
+    @staticmethod
+    def _stack(examples) -> Dict[str, np.ndarray]:
+        return {
+            "images": np.stack([e["images"] for e in examples]),
+            "gt_boxes": np.stack([e["gt_boxes"] for e in examples]),
+            "gt_labels": np.stack([e["gt_labels"] for e in examples]),
+            "image_id": np.asarray([e["image_id"] for e in examples], np.int64),
+            "scale": np.asarray([e["scale"] for e in examples], np.float32),
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._gen()
+            return
+        # background thread keeps `prefetch` batches ready (single-core box:
+        # this overlaps host decode with device compute across the GIL
+        # release in device execution)
+        q: collections.deque = collections.deque()
+        done = threading.Event()
+        sem = threading.Semaphore(self.prefetch)
+        lock = threading.Lock()
+
+        def worker():
+            try:
+                for batch in self._gen():
+                    sem.acquire()
+                    with lock:
+                        q.append(batch)
+                    if done.is_set():
+                        return
+            finally:
+                with lock:
+                    q.append(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                with lock:
+                    item = q.popleft() if q else ()
+                if item is None:
+                    return
+                if item == ():
+                    t.join(timeout=0.005)
+                    continue
+                sem.release()
+                yield item
+        finally:
+            done.set()
+
+
+def make_train_iterator(dataset, cfg: Config):
+    return DetectionIterator(
+        dataset, cfg.train.batch_size, cfg.model.image_size,
+        max_gt=cfg.train.max_gt, shuffle=True, repeat=True,
+        seed=cfg.train.seed, crop=cfg.data.random_crop,
+        crop_range=(cfg.data.crop_min_scale, cfg.data.crop_max_scale),
+        prefetch=cfg.data.prefetch)
+
+
+def make_eval_iterator(dataset, cfg: Config):
+    return DetectionIterator(
+        dataset, cfg.eval.batch_size, cfg.model.image_size,
+        max_gt=cfg.train.max_gt, shuffle=False, repeat=False, crop=False,
+        drop_remainder=False, prefetch=cfg.data.prefetch)

@@ -1,0 +1,121 @@
+"""Host-side geometric transforms on fixed canvases (SURVEY.md §2 #14).
+
+The reference resizes to a variable min-608/max-1024 side then pads each
+BATCH to its max size (dynamic shapes). TPU-first replacement: letterbox
+every image onto a FIXED (H, W) canvas — aspect-preserving scale + top-left
+padding — so every batch has the same shape and the train step never
+retraces. Scale factors are returned so detections can be mapped back to
+original coordinates (the reference's ``1/resize_scale`` step, SURVEY.md
+§3.2 last line).
+
+Photometric normalization and horizontal flip run ON DEVICE inside the
+jitted step (see ``detjax.data.pipeline.device_augment``); the host-side
+flip/crop here exist for the eval path and for pipelines that want host aug.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def letterbox(
+    image: np.ndarray,  # [h, w, 3] uint8
+    boxes: np.ndarray,  # [n, 4] xyxy in source coords
+    target_hw: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Aspect-preserving resize onto a fixed canvas. Returns
+    (canvas uint8 [H,W,3], boxes in canvas coords, scale).
+
+    The resize runs through the in-repo C++ bilinear kernel
+    (detjax.native — the data loader's native substrate, SURVEY.md §2a)
+    when the toolchain is available, else PIL.
+    """
+    th, tw = target_hw
+    h, w = image.shape[:2]
+    scale = min(th / h, tw / w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    if (nh, nw) == (h, w):
+        resized = image
+    else:
+        from detjax import native
+
+        if native.available():
+            resized = native.resize_bilinear(image, nh, nw)
+        else:
+            from PIL import Image
+
+            resized = np.asarray(
+                Image.fromarray(image).resize((nw, nh), Image.BILINEAR),
+                np.uint8)
+    canvas = np.zeros((th, tw, 3), np.uint8)
+    canvas[:nh, :nw] = resized
+    out_boxes = boxes.astype(np.float32) * scale
+    np.clip(out_boxes[:, 0::2], 0, nw, out=out_boxes[:, 0::2])
+    np.clip(out_boxes[:, 1::2], 0, nh, out=out_boxes[:, 1::2])
+    return canvas, out_boxes, scale
+
+
+def hflip_boxes(boxes: np.ndarray, width: float) -> np.ndarray:
+    """Mirror xyxy boxes horizontally inside [0, width]."""
+    out = boxes.copy()
+    out[:, 0] = width - boxes[:, 2]
+    out[:, 2] = width - boxes[:, 0]
+    return out
+
+
+def random_crop(
+    image: np.ndarray,
+    boxes: np.ndarray,
+    labels: np.ndarray,
+    rng: np.random.Generator,
+    min_scale: float = 0.3,
+    max_scale: float = 1.0,
+    min_box_coverage: float = 0.5,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random sub-window crop; keeps boxes whose area survives ≥coverage.
+
+    Mirrors the lineage's crop augmentation (SURVEY.md §2 #14 "random
+    crop"): boxes are clipped to the window and dropped if mostly cut away.
+    """
+    h, w = image.shape[:2]
+    s = rng.uniform(min_scale, max_scale)
+    ch, cw = max(1, int(h * s)), max(1, int(w * s))
+    y0 = int(rng.integers(0, h - ch + 1))
+    x0 = int(rng.integers(0, w - cw + 1))
+    crop = image[y0:y0 + ch, x0:x0 + cw]
+    if len(boxes) == 0:
+        return crop, boxes.reshape(0, 4), labels
+    shifted = boxes - np.asarray([x0, y0, x0, y0], np.float32)
+    clipped = shifted.copy()
+    np.clip(clipped[:, 0::2], 0, cw, out=clipped[:, 0::2])
+    np.clip(clipped[:, 1::2], 0, ch, out=clipped[:, 1::2])
+    area = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
+        boxes[:, 3] - boxes[:, 1], 0)
+    new_area = np.maximum(clipped[:, 2] - clipped[:, 0], 0) * np.maximum(
+        clipped[:, 3] - clipped[:, 1], 0)
+    keep = new_area >= min_box_coverage * np.maximum(area, 1e-6)
+    keep &= new_area > 1.0
+    return crop, clipped[keep], labels[keep]
+
+
+def normalize_image(image: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] → float32 ImageNet-normalized (host-side variant)."""
+    x = image.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def pad_annotations(
+    boxes: np.ndarray, labels: np.ndarray, max_gt: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate to [max_gt] with label −1 sentinel (static shapes)."""
+    n = min(len(boxes), max_gt)
+    out_boxes = np.zeros((max_gt, 4), np.float32)
+    out_labels = np.full((max_gt,), -1, np.int32)
+    out_boxes[:n] = boxes[:n]
+    out_labels[:n] = labels[:n]
+    return out_boxes, out_labels

@@ -18,8 +18,7 @@ import numpy as np
 from detjax.config import Config, get_config
 from detjax.models.detector import Detector, build_detector
 from detjax.ops.anchors import AnchorConfig, anchors_for_shape
-from detjax.ops.boxes import clip_boxes, decode_boxes
-from detjax.ops.nms import Detections, batched_detect_postprocess
+from detjax.ops.nms import Detections, fused_detect_postprocess
 
 
 def anchor_config(cfg: Config) -> AnchorConfig:
@@ -59,14 +58,15 @@ def _detect_fn(cfg: Config):
         anchors = jnp.asarray(anchors_np)
         cls_logits, box_deltas = module.apply(variables, images, train=False)
         scores = jax.nn.sigmoid(cls_logits)  # [B, A, K]
-        boxes = decode_boxes(box_deltas, anchors[None], cfg.model.box_std)
-        boxes = clip_boxes(boxes, cfg.model.image_size)
-        return batched_detect_postprocess(
-            boxes, scores,
+        return fused_detect_postprocess(
+            box_deltas, anchors, scores,
+            box_std=cfg.model.box_std,
+            image_size=cfg.model.image_size,
             score_threshold=e.score_threshold,
             iou_threshold=e.nms_iou_threshold,
-            pre_nms_top_k=e.pre_nms_top_k,
-            max_detections=e.max_detections)
+            num_candidates=e.pre_nms_top_k,
+            max_detections=e.max_detections,
+            exact=e.exact_candidates)
 
     return run
 

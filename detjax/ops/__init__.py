@@ -18,6 +18,7 @@ from detjax.ops.nms import (
     class_aware_nms,
     nms_single_class,
     batched_detect_postprocess,
+    fused_detect_postprocess,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "class_aware_nms",
     "nms_single_class",
     "batched_detect_postprocess",
+    "fused_detect_postprocess",
 ]

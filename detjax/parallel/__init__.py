@@ -1,0 +1,25 @@
+"""Distribution: jax.sharding mesh + pjit data-parallel (SURVEY.md §2b, §5.8).
+
+The reference's multi-GPU story is ``torch.nn.DataParallel`` (single-process
+CUDA scatter/gather; NCCL only under DDP). The TPU-native equivalent is a
+deletion of that subsystem: one ``Mesh(('data',))`` over the v5e slice,
+params replicated, batch sharded on 'data', and XLA emits the gradient
+all-reduce over ICI inside the same compiled step. No backend code, no
+launcher, identical program on 1 chip and v5e-8.
+"""
+
+from detjax.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    make_parallel_train_step,
+    parallel_train_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "make_parallel_train_step",
+    "parallel_train_state",
+]

@@ -45,20 +45,55 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Adam(1e-5) + global-norm clip 0.1 (SURVEY.md §2 #16).
 
     Note the reference clips grads THEN steps Adam; optax chain order
-    matches: clip first, then the optimizer update.
+    matches: clip first, then the optimizer update. The optimizer is wrapped
+    in ``inject_hyperparams`` so the learning rate lives in opt_state as an
+    ARRAY: the host-side ReduceLROnPlateau controller (loop.py, mirroring
+    the reference's scheduler) updates it between steps with zero recompiles.
     """
     t = cfg.train
     if t.lr_schedule == "cosine":
         lr = optax.cosine_decay_schedule(t.learning_rate, 10_000_000)
-    else:  # "plateau" is driven host-side via scale_by_plateau analog;
-        # inside the step we use the base lr (constant) — see loop.py.
+    else:  # "plateau"/"constant": base lr, host-adjustable via opt_state
         lr = t.learning_rate
-    opt = {
-        "adam": optax.adam(lr),
-        "sgd": optax.sgd(lr, momentum=0.9),
-        "adamw": optax.adamw(lr),
+    make = {
+        "adam": optax.adam,
+        "sgd": functools.partial(optax.sgd, momentum=0.9),
+        "adamw": optax.adamw,
     }[t.optimizer]
+    opt = optax.inject_hyperparams(make)(learning_rate=lr)
     return optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)
+
+
+def _find_hyperparams(opt_state):
+    """Locate the InjectHyperparamsState inside a (possibly nested) opt_state."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            found = _find_hyperparams(s)
+            if found is not None:
+                return found
+    return None
+
+
+def get_learning_rate(state: "TrainState") -> float:
+    hp = _find_hyperparams(state.opt_state)
+    return float(np.asarray(hp.hyperparams["learning_rate"]))
+
+
+def set_learning_rate(state: "TrainState", lr: float) -> "TrainState":
+    """Return state with a new learning rate (no recompile: same pytree)."""
+
+    def rewrite(s):
+        if hasattr(s, "hyperparams"):
+            old = s.hyperparams["learning_rate"]
+            new = jnp.asarray(lr, dtype=old.dtype)
+            return s._replace(hyperparams=dict(s.hyperparams, learning_rate=new))
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(rewrite(x) for x in s)
+        return s
+
+    return state.replace(opt_state=rewrite(state.opt_state))
 
 
 def make_train_state(preset, rng: Any = None, **overrides) -> TrainState:
@@ -85,7 +120,18 @@ def make_train_step(cfg: Config):
     t = cfg.train
     update_bn = not cfg.model.frozen_backbone_bn
 
-    def loss_fn(params, batch_stats, batch: Batch):
+    def loss_fn(params, batch_stats, batch: Batch, aug_rng):
+        from detjax.data.pipeline import device_augment
+
+        images = batch["images"]
+        gt_boxes = batch["gt_boxes"]
+        if images.dtype == jnp.uint8:
+            # fused on-device augmentation (benchmark config 4): uint8 H2D
+            # → normalize + random hflip on the VPU, inside this jit region
+            images, gt_boxes = device_augment.__wrapped__(
+                images, gt_boxes, aug_rng,
+                hflip_prob=cfg.data.hflip_prob)
+        batch = dict(batch, images=images, gt_boxes=gt_boxes)
         variables = {"params": params, "batch_stats": batch_stats}
         if update_bn:
             (cls, box), mutated = module.apply(
@@ -106,8 +152,11 @@ def make_train_step(cfg: Config):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, Array]]:
+        # deterministic per-step augmentation stream, no host RNG traffic
+        aug_rng = jax.random.fold_in(jax.random.PRNGKey(t.seed), state.step)
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   aug_rng)
         updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)

@@ -1,0 +1,169 @@
+"""Data pipeline tests: loaders, transforms, iterator determinism, on-device
+augmentation (SURVEY.md §4.5)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detjax.config import get_config
+from detjax.data.coco import CocoDataset
+from detjax.data.csv_dataset import CSVDataset
+from detjax.data.pipeline import DetectionIterator, device_augment, make_train_iterator
+from detjax.data.synthetic import SyntheticDetectionDataset
+from detjax.data.transforms import (
+    hflip_boxes,
+    letterbox,
+    pad_annotations,
+    random_crop,
+)
+
+
+def test_letterbox_scales_and_pads():
+    img = np.full((100, 200, 3), 255, np.uint8)
+    boxes = np.asarray([[0, 0, 200, 100]], np.float32)
+    canvas, out, scale = letterbox(img, boxes, (256, 256))
+    assert canvas.shape == (256, 256, 3)
+    assert np.isclose(scale, 256 / 200)
+    # image occupies top-left 128 rows
+    assert canvas[:128].mean() > 250
+    assert canvas[129:].sum() == 0
+    np.testing.assert_allclose(out[0], [0, 0, 256, 128], atol=0.5)
+
+
+def test_hflip_boxes_golden():
+    boxes = np.asarray([[10, 20, 30, 40]], np.float32)
+    out = hflip_boxes(boxes, 100)
+    np.testing.assert_allclose(out[0], [70, 20, 90, 40])
+
+
+def test_random_crop_keeps_covered_boxes(rng):
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.asarray([[10, 10, 30, 30], [80, 80, 99, 99]], np.float32)
+    labels = np.asarray([1, 2], np.int32)
+    crop, out_boxes, out_labels = random_crop(
+        img, boxes, labels, rng, min_scale=0.5, max_scale=0.5)
+    assert crop.shape[0] == 50 and crop.shape[1] == 50
+    for b in out_boxes:
+        assert (b[2] > b[0]) and (b[3] > b[1])
+        assert b.min() >= 0 and b.max() <= 50
+
+
+def test_pad_annotations():
+    boxes = np.ones((3, 4), np.float32)
+    labels = np.arange(3, dtype=np.int32)
+    pb, pl = pad_annotations(boxes, labels, 5)
+    assert pb.shape == (5, 4) and pl.shape == (5,)
+    assert (pl[3:] == -1).all()
+    pb, pl = pad_annotations(boxes, labels, 2)  # truncation
+    assert pb.shape == (2, 4) and (pl >= 0).all()
+
+
+def test_coco_json_loader(tmp_path):
+    ann = {
+        "images": [{"id": 7, "file_name": "a.jpg", "height": 50, "width": 60}],
+        "annotations": [
+            {"image_id": 7, "category_id": 18, "bbox": [10, 10, 20, 20],
+             "iscrowd": 0, "area": 400},
+            {"image_id": 7, "category_id": 44, "bbox": [0, 0, 0.5, 30]},  # degenerate
+        ],
+        "categories": [{"id": 18, "name": "dog"}, {"id": 44, "name": "bottle"}],
+    }
+    p = tmp_path / "instances.json"
+    p.write_text(json.dumps(ann))
+    ds = CocoDataset(str(p), load_images=False)
+    assert len(ds) == 1
+    assert ds.num_classes == 2
+    rec = ds[0]
+    assert rec["image_id"] == 7
+    np.testing.assert_allclose(rec["boxes"], [[10, 10, 30, 30]])  # xywh→xyxy
+    assert rec["labels"].tolist() == [0]  # contiguous mapping (id 18 → 0)
+    assert ds.label_to_cat_id[0] == 18
+
+
+def test_csv_dataset(tmp_path):
+    csvf = tmp_path / "ann.csv"
+    csvf.write_text("img1.jpg,10,20,30,40,cat\nimg2.jpg,,,,,\n"
+                    "img1.jpg,5,5,15,15,dog\n")
+    cmap = tmp_path / "classes.csv"
+    cmap.write_text("cat,0\ndog,1\n")
+    ds = CSVDataset(str(csvf), str(cmap), load_images=False)
+    assert len(ds) == 2
+    rec = ds[0]  # img1 (sorted)
+    assert rec["boxes"].shape == (2, 4)
+    assert sorted(rec["labels"].tolist()) == [0, 1]
+    rec2 = ds[1]
+    assert rec2["boxes"].shape == (0, 4)
+
+
+def test_synthetic_deterministic():
+    ds = SyntheticDetectionDataset(num_images=4, seed=3)
+    a, b = ds[2], ds[2]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["boxes"], b["boxes"])
+    assert a["boxes"].shape[0] >= 1
+
+
+def test_iterator_fixed_shapes_and_determinism():
+    ds = SyntheticDetectionDataset(num_images=10, image_size=(96, 96))
+    it1 = DetectionIterator(ds, 4, (128, 128), max_gt=6, seed=1, prefetch=0)
+    it2 = DetectionIterator(ds, 4, (128, 128), max_gt=6, seed=1, prefetch=0)
+    b1 = next(iter(it1))
+    b2 = next(iter(it2))
+    assert b1["images"].shape == (4, 128, 128, 3)
+    assert b1["images"].dtype == np.uint8
+    assert b1["gt_boxes"].shape == (4, 6, 4)
+    assert b1["gt_labels"].shape == (4, 6)
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    np.testing.assert_array_equal(b1["gt_boxes"], b2["gt_boxes"])
+
+
+def test_iterator_prefetch_matches_sync():
+    ds = SyntheticDetectionDataset(num_images=12, image_size=(64, 64))
+    sync = DetectionIterator(ds, 4, (64, 64), max_gt=6, seed=5, prefetch=0,
+                             repeat=False)
+    pre = DetectionIterator(ds, 4, (64, 64), max_gt=6, seed=5, prefetch=2,
+                            repeat=False)
+    bs_sync = list(sync)
+    bs_pre = list(pre)
+    assert len(bs_sync) == len(bs_pre) == 3
+    for a, b in zip(bs_sync, bs_pre):
+        np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_eval_iterator_partial_batch_padding():
+    ds = SyntheticDetectionDataset(num_images=5, image_size=(64, 64))
+    cfg = get_config("retinanet_r50_640", **{
+        "model.image_size": (64, 64), "eval.batch_size": 4})
+    from detjax.data.pipeline import make_eval_iterator
+    batches = list(make_eval_iterator(ds, cfg))
+    assert len(batches) == 2
+    assert (batches[1]["image_id"][1:] == -1).all()  # filler marked
+
+
+def test_device_augment_flip_consistency():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (4, 32, 48, 3)).astype(np.uint8)
+    boxes = np.tile(np.asarray([[[4, 2, 10, 8]]], np.float32), (4, 1, 1))
+    x, bx = device_augment(jnp.asarray(img), jnp.asarray(boxes),
+                           jax.random.PRNGKey(1), hflip_prob=1.0)
+    assert x.shape == (4, 32, 48, 3)
+    # all flipped: boxes mirrored in width 48
+    np.testing.assert_allclose(np.asarray(bx)[0, 0], [38, 2, 44, 8])
+    # image flip: column j maps to 47-j after normalization
+    xn = np.asarray(x)
+    from detjax.data.transforms import normalize_image
+    want = normalize_image(img[0])[:, ::-1]
+    np.testing.assert_allclose(xn[0], want, atol=1e-5)
+
+
+def test_device_augment_no_flip_identity():
+    img = np.full((1, 8, 8, 3), 128, np.uint8)
+    boxes = np.zeros((1, 2, 4), np.float32)
+    x, bx = device_augment(jnp.asarray(img), jnp.asarray(boxes),
+                           jax.random.PRNGKey(0), hflip_prob=0.0)
+    np.testing.assert_array_equal(np.asarray(bx), boxes)
+    from detjax.data.transforms import normalize_image
+    np.testing.assert_allclose(np.asarray(x)[0], normalize_image(img[0]),
+                               atol=1e-5)

@@ -108,3 +108,36 @@ def test_batched_postprocess_shapes(rng):
     for i in range(b):
         nv = int(det.num_valid[i])
         assert (np.diff(s[i, :nv]) <= 1e-6).all()
+
+
+def test_fused_postprocess_matches_per_class_path(rng):
+    """Production fused path (global candidates + class-offset NMS) must give
+    the same detections as the per-class reference path when the candidate
+    set covers everything."""
+    from detjax.ops.boxes import clip_boxes, decode_boxes
+    from detjax.ops.nms import fused_detect_postprocess
+
+    b, a, k = 2, 150, 5
+    anchors = _boxes_scores(rng, a)[0]
+    deltas = rng.normal(0, 0.3, (b, a, 4)).astype(np.float32)
+    scores = rng.uniform(0, 1, (b, a, k)).astype(np.float32)
+
+    fused = fused_detect_postprocess(
+        jnp.asarray(deltas), jnp.asarray(anchors), jnp.asarray(scores),
+        image_size=(256, 256), num_candidates=a * k, max_detections=40,
+        exact=True)
+
+    boxes = decode_boxes(jnp.asarray(deltas), jnp.asarray(anchors)[None])
+    boxes = clip_boxes(boxes, (256, 256))
+    ref = batched_detect_postprocess(
+        boxes, jnp.asarray(scores), pre_nms_top_k=a, max_detections=40)
+
+    for i in range(b):
+        nf, nr = int(fused.num_valid[i]), int(ref.num_valid[i])
+        assert nf == nr
+        np.testing.assert_allclose(np.asarray(fused.scores[i, :nf]),
+                                   np.asarray(ref.scores[i, :nr]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(fused.labels[i, :nf]),
+                                      np.asarray(ref.labels[i, :nr]))
+        np.testing.assert_allclose(np.asarray(fused.boxes[i, :nf]),
+                                   np.asarray(ref.boxes[i, :nr]), atol=1e-3)
