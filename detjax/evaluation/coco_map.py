@@ -26,6 +26,7 @@ reference implementation and always available.
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -68,11 +69,23 @@ class GroundTruth:
             self.areas = np.asarray(self.areas, dtype=np.float64).reshape(g)
 
 
+def _use_native() -> bool:
+    if os.environ.get("DETJAX_NATIVE", "1") == "0":
+        return False
+    from detjax import native
+
+    return native.available()
+
+
 def _iou_xyxy(det: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
     """[D,4] × [G,4] → [D,G]; crowd GT uses IoU = inter / det_area
     (pycocotools maskApi ``iou`` semantics)."""
     if len(det) == 0 or len(gt) == 0:
         return np.zeros((len(det), len(gt)))
+    if _use_native():
+        from detjax import native
+
+        return native.iou_xyxy(det, gt, iscrowd)
     lt = np.maximum(det[:, None, :2], gt[None, :, :2])
     rb = np.minimum(det[:, None, 2:], gt[None, :, 2:])
     wh = np.clip(rb - lt, 0, None)
@@ -108,6 +121,14 @@ def _evaluate_img(
     g_crowd = g_crowd[order]
     ious = ious[:, order] if ious.size else ious
     g_n = len(gt_sel)
+
+    if _use_native():
+        from detjax import native
+
+        dtm, dt_ig = native.match_image(
+            ious if ious.size else np.zeros((d_n, g_n)),
+            gt_ig, g_crowd, det_areas, area_rng, IOU_THRS)
+        return dtm, dt_ig, gt_ig
 
     dtm = np.zeros((t_n, d_n), dtype=np.int64)  # 1 + matched gt slot, 0 = unmatched
     gtm = np.zeros((t_n, g_n), dtype=np.int64)

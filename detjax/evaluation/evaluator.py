@@ -1,0 +1,81 @@
+"""End-to-end COCO evaluation loop (SURVEY.md §3.3).
+
+The reference's ``evaluate_coco`` runs the model image-by-image (bs=1) with
+a per-class Python NMS loop, dumps JSON, and calls pycocotools. Here the
+model+postprocess run BATCHED inside one jit (fused decode/NMS never leaves
+the chip), the device→host transfer is just [B, 100] final detections, and
+mAP comes from the in-repo COCOeval-compatible evaluator — detections are
+mapped back to original image coordinates through the letterbox scale, so
+numbers are comparable to pycocotools on the same boxes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detjax.config import Config
+from detjax.data.pipeline import device_augment, make_eval_iterator
+from detjax.evaluation.coco_map import COCOMetric, EvalResult, GroundTruth
+from detjax.modeling import _detect_fn
+
+
+def _gt_provider(dataset) -> Callable[[int], GroundTruth]:
+    """image_id → GroundTruth in ORIGINAL image coordinates."""
+    if hasattr(dataset, "load_annotations"):
+        def coco_gt(image_id: int) -> GroundTruth:
+            a = dataset.load_annotations(image_id)
+            return GroundTruth(boxes=a["boxes"], labels=a["labels"],
+                               iscrowd=a["iscrowd"], areas=a["areas"])
+        return coco_gt
+
+    index = {}
+    for i in range(len(dataset)):
+        rec = dataset[i]
+        index[rec["image_id"]] = i
+
+    def generic_gt(image_id: int) -> GroundTruth:
+        rec = dataset[index[image_id]]
+        return GroundTruth(boxes=rec["boxes"], labels=rec["labels"],
+                           iscrowd=rec.get("iscrowd"), areas=rec.get("areas"))
+    return generic_gt
+
+
+def run_coco_eval(variables, dataset, cfg: Config,
+                  max_images: Optional[int] = None) -> EvalResult:
+    """Run detection over ``dataset`` and compute COCO bbox metrics.
+
+    Returns :class:`EvalResult`; ``result["AP"]`` is mAP@[.5:.95].
+    """
+    detect = _detect_fn(cfg)
+    gt_of = _gt_provider(dataset)
+    metric = COCOMetric(category_ids=list(range(cfg.model.num_classes)))
+    zeros_rng = jax.random.PRNGKey(0)
+    n_done = 0
+    for batch in make_eval_iterator(dataset, cfg):
+        imgs = jnp.asarray(batch["images"])
+        if imgs.dtype == jnp.uint8:
+            b = imgs.shape[0]
+            imgs, _ = device_augment(
+                imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
+                hflip_prob=0.0)
+        det = detect(variables, imgs)
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        num_valid = np.asarray(det.num_valid)
+        for i in range(len(batch["image_id"])):
+            img_id = int(batch["image_id"][i])
+            if img_id < 0:  # padding of the final partial batch
+                continue
+            scale = float(batch["scale"][i])
+            nv = int(num_valid[i])
+            metric.add(img_id, gt_of(img_id),
+                       boxes[i, :nv] / scale, scores[i, :nv], labels[i, :nv])
+            n_done += 1
+            if max_images is not None and n_done >= max_images:
+                return metric.compute()
+    return metric.compute()

@@ -34,8 +34,12 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Dict[int, Array]) -> Dict[int, Array]:
+        # explicit symmetric padding (k//2): identical to SAME at stride 1,
+        # and torch-equivalent (pad=1) for the stride-2 P6/P7 convs where
+        # flax SAME would pad asymmetrically (see resnet.py note)
         conv = lambda k, s, name: nn.Conv(
-            self.channels, (k, k), strides=(s, s), padding="SAME",
+            self.channels, (k, k), strides=(s, s),
+            padding=((k // 2, k // 2), (k // 2, k // 2)),
             dtype=self.dtype, name=name,
             kernel_init=nn.initializers.he_normal())
         # Lateral projections on the backbone levels we have (C3..C5).

@@ -41,8 +41,12 @@ class BottleneckBlock(nn.Module):
         y = Conv(self.filters, (1, 1), dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
+        # explicit (1,1) padding: for stride 2 this matches torch's
+        # symmetric pad=1 exactly, where flax "SAME" would pad (0,1) and
+        # shift the sampling grid — silent numeric drift for imported
+        # torchvision weights (SURVEY.md §5.4 weight importer).
         y = Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                 dtype=self.dtype, name="conv2")(y)
+                 padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = Conv(self.filters * 4, (1, 1), dtype=self.dtype, name="conv3")(y)
@@ -75,7 +79,9 @@ class ResNet(nn.Module):
             dtype=self.dtype,
         )
         x = x.astype(self.dtype)
-        x = Conv(64, (7, 7), strides=(2, 2), dtype=self.dtype, name="conv1")(x)
+        # torch-equivalent symmetric pad=3 (flax SAME would pad (2,3))
+        x = Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                 dtype=self.dtype, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

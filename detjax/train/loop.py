@@ -1,0 +1,160 @@
+"""Training orchestration (SURVEY.md §2 #16, §3.1; benchmark config 5).
+
+The reference's ``train.py main()`` — epoch loop, Adam(1e-5),
+``ReduceLROnPlateau``, grad-clip 0.1, per-epoch ``torch.save``, per-epoch
+COCO eval — becomes a step-based loop around ONE jitted (optionally pjit
+data-parallel) train step:
+
+  * host work per step is only: next prefetched batch + metrics bookkeeping
+    (the step itself runs async on device; we sync once per log interval)
+  * ReduceLROnPlateau semantics are reproduced host-side by writing the new
+    lr into opt_state (``inject_hyperparams`` array) — zero recompiles
+  * periodic Orbax checkpoints (async) + periodic COCO mAP eval
+  * throughput (images/sec/chip) tracked continuously
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from detjax.config import Config
+from detjax.train.step import (
+    TrainState,
+    get_learning_rate,
+    make_train_state,
+    make_train_step,
+    set_learning_rate,
+)
+from detjax.utils.logging import MetricsLogger
+from detjax.utils.profiling import StepTimer
+
+
+class ReduceLROnPlateau:
+    """Host-side mirror of torch.optim.lr_scheduler.ReduceLROnPlateau
+    (mode='min', relative threshold), the reference's scheduler."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 3,
+                 threshold: float = 1e-4, min_lr: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def update(self, value: float, current_lr: float) -> Optional[float]:
+        """Feed a monitored value; returns the new lr if it should drop."""
+        if value < self.best * (1.0 - self.threshold):
+            self.best = value
+            self.num_bad = 0
+            return None
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            new_lr = max(current_lr * self.factor, self.min_lr)
+            if new_lr < current_lr:
+                return new_lr
+        return None
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    history: list
+    images_per_sec: float
+
+
+def fit(
+    cfg: Config,
+    train_batches: Iterable[Dict[str, np.ndarray]],
+    num_steps: int,
+    state: Optional[TrainState] = None,
+    eval_dataset: Any = None,
+    eval_max_images: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    log_dir: Optional[str] = None,
+    log_every: int = 50,
+    lr_plateau_every: int = 500,
+    mesh=None,
+    resume: bool = True,
+) -> FitResult:
+    """Run ``num_steps`` optimization steps; returns final state + history.
+
+    ``train_batches`` yields numpy batches (see DetectionIterator). When
+    ``mesh`` is given the step is the pjit data-parallel one (config 5).
+    """
+    from detjax.train.checkpoint import Checkpointer
+
+    if state is None:
+        state = make_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    ckpt = Checkpointer(checkpoint_dir) if checkpoint_dir else None
+    if ckpt is not None and resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"[fit] resumed from step {int(np.asarray(state.step))}")
+
+    if mesh is not None:
+        from detjax.parallel import make_parallel_train_step, parallel_train_state
+
+        state = parallel_train_state(state, mesh)
+        step_fn = make_parallel_train_step(cfg, mesh)
+    else:
+        step_fn = make_train_step(cfg)
+
+    logger = MetricsLogger(log_dir, print_every=log_every)
+    timer = StepTimer(skip=2)
+    plateau = ReduceLROnPlateau() if cfg.train.lr_schedule == "plateau" else None
+    history = []
+    loss_accum: list = []
+    start = int(np.asarray(state.step))
+    t = cfg.train
+
+    it = iter(train_batches)
+    for i in range(start, num_steps):
+        batch = next(it)
+        state, metrics = step_fn(state, batch)
+        timer.tick(t.batch_size)
+        loss_accum.append(metrics["loss"])  # device array; sync deferred
+
+        if (i + 1) % log_every == 0 or i + 1 == num_steps:
+            vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            vals["lr"] = get_learning_rate(state)
+            vals["images_per_sec"] = round(timer.images_per_sec, 2)
+            logger.log(i + 1, vals, kind="train")
+            history.append({"step": i + 1, **vals})
+
+        if plateau is not None and (i + 1) % lr_plateau_every == 0:
+            window = float(np.mean([np.asarray(x) for x in loss_accum]))
+            loss_accum.clear()
+            cur = get_learning_rate(state)
+            new_lr = plateau.update(window, cur)
+            if new_lr is not None:
+                state = set_learning_rate(state, new_lr)
+                logger.log(i + 1, {"lr": new_lr, "plateau_loss": window},
+                           kind="lr")
+
+        if ckpt is not None and (i + 1) % t.checkpoint_every_steps == 0:
+            ckpt.save(state)
+
+        if eval_dataset is not None and (i + 1) % t.eval_every_steps == 0:
+            res = _periodic_eval(state, eval_dataset, cfg, eval_max_images)
+            logger.log(i + 1, res, kind="eval")
+            history.append({"step": i + 1, "eval": res})
+
+    if ckpt is not None:
+        ckpt.save(state, wait=True)
+    logger.close()
+    return FitResult(state=state, history=history,
+                     images_per_sec=timer.images_per_sec)
+
+
+def _periodic_eval(state: TrainState, dataset, cfg: Config,
+                   max_images: Optional[int]) -> Dict[str, float]:
+    from detjax.evaluation.evaluator import run_coco_eval
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    res = run_coco_eval(variables, dataset, cfg, max_images=max_images)
+    return {k: round(v, 4) for k, v in res.stats.items()}

@@ -1,0 +1,64 @@
+"""Structured metrics logging (SURVEY.md §5.5).
+
+The reference prints running cls/reg loss per iteration and the COCOeval
+table per epoch. Here every step's metrics dict goes to a JSONL file (one
+object per line, machine-parsable) plus a compact stdout line every
+``print_every`` steps; eval results are logged as distinct ``kind="eval"``
+records. TensorBoard is intentionally not required — the JSONL is the
+source of truth and trivially importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+def _to_py(v: Any) -> Any:
+    """Device array / numpy scalar → Python float/int for JSON."""
+    try:
+        import numpy as np
+
+        if hasattr(v, "item"):
+            return v.item()
+        if isinstance(v, (np.ndarray,)):
+            return np.asarray(v).tolist()
+    except Exception:
+        pass
+    return v
+
+
+class MetricsLogger:
+    """JSONL metrics writer with periodic stdout summaries."""
+
+    def __init__(self, log_dir: Optional[str] = None, print_every: int = 50,
+                 stream=None):
+        self.print_every = print_every
+        self.stream = stream if stream is not None else sys.stdout
+        self._fh = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._fh = open(os.path.join(log_dir, "metrics.jsonl"), "a",
+                            buffering=1)
+        self._t0 = time.time()
+
+    def log(self, step: int, metrics: Dict[str, Any], kind: str = "train"):
+        rec = {"kind": kind, "step": int(step),
+               "time": round(time.time() - self._t0, 3)}
+        rec.update({k: _to_py(v) for k, v in metrics.items()})
+        if self._fh is not None:
+            self._fh.write(json.dumps(rec) + "\n")
+        if kind != "train" or (self.print_every and step % self.print_every == 0):
+            keys = [k for k in rec if k not in ("kind", "step", "time")]
+            body = " ".join(
+                f"{k}={rec[k]:.4f}" if isinstance(rec[k], float) else f"{k}={rec[k]}"
+                for k in keys)
+            print(f"[{kind}] step={step} {body}", file=self.stream)
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

@@ -1,0 +1,95 @@
+"""Pallas kernel tests (interpret mode on CPU): the kernels must reproduce
+the lax reference implementations element-for-element (SURVEY.md §7 "diff
+against lax fallback bit-for-bit on keep sets")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detjax.kernels.postprocess import decode_boxes_pallas, nms_pallas
+from detjax.ops.boxes import clip_boxes, decode_boxes
+from detjax.ops.nms import NEG_INF, _greedy_nms_single, fused_detect_postprocess
+
+
+def _random_candidates(rng, b=2, n=200, k=6, size=256.0):
+    cxcy = rng.uniform(20, size - 20, (b, n, 2))
+    wh = rng.uniform(5, 60, (b, n, 2))
+    boxes = np.concatenate([cxcy - wh / 2, cxcy + wh / 2], axis=-1)
+    scores = rng.uniform(0.01, 1.0, (b, n)).astype(np.float32)
+    labels = rng.integers(0, k, (b, n)).astype(np.int32)
+    return boxes.astype(np.float32), scores, labels
+
+
+def test_nms_pallas_matches_lax(rng):
+    boxes, scores, labels = _random_candidates(rng)
+    off = 300.0
+    ki, ks = nms_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.asarray(labels), iou_threshold=0.5, max_det=50,
+                        class_offset=off, interpret=True)
+    off_boxes = jnp.asarray(boxes) + (
+        jnp.asarray(labels, jnp.float32) * off)[..., None]
+    ref_i, ref_s = jax.vmap(
+        lambda bb, ss: _greedy_nms_single(bb, ss, 0.5, 50)
+    )(off_boxes, jnp.asarray(scores))
+    np.testing.assert_array_equal(np.asarray(ki), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(ks), np.asarray(ref_s), atol=1e-6)
+
+
+def test_nms_pallas_presuppressed_and_empty(rng):
+    boxes, scores, labels = _random_candidates(rng, b=1, n=64, k=3)
+    scores[0, ::2] = NEG_INF  # pre-suppressed entries must never surface
+    ki, ks = nms_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.asarray(labels), max_det=30, interpret=True)
+    sel = np.asarray(ki[0])
+    assert (sel[sel >= 0] % 2 == 1).all()
+    # fully-suppressed image → all -1
+    ki2, ks2 = nms_pallas(jnp.asarray(boxes),
+                          jnp.full_like(jnp.asarray(scores), NEG_INF),
+                          jnp.asarray(labels), max_det=30, interpret=True)
+    assert (np.asarray(ki2) == -1).all()
+    assert (np.asarray(ks2) == 0).all()
+
+
+def test_decode_pallas_matches_lax(rng):
+    b, n = 2, 300
+    anchors = _random_candidates(rng, b=1, n=n)[0][0]
+    deltas = rng.normal(0, 0.4, (b, n, 4)).astype(np.float32)
+    got = decode_boxes_pallas(jnp.asarray(deltas), jnp.asarray(anchors),
+                              image_size=(256, 256), interpret=True)
+    want = clip_boxes(decode_boxes(jnp.asarray(deltas),
+                                   jnp.asarray(anchors)[None]), (256, 256))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_decode_pallas_unclipped(rng):
+    n = 150
+    anchors = _random_candidates(rng, b=1, n=n)[0][0]
+    deltas = rng.normal(0, 0.4, (1, n, 4)).astype(np.float32)
+    got = decode_boxes_pallas(jnp.asarray(deltas), jnp.asarray(anchors),
+                              interpret=True)
+    want = decode_boxes(jnp.asarray(deltas), jnp.asarray(anchors)[None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_postprocess_pallas_backend_matches_lax(rng):
+    b, a, k = 2, 120, 5
+    anchors = _random_candidates(rng, b=1, n=a)[0][0]
+    deltas = rng.normal(0, 0.3, (b, a, 4)).astype(np.float32)
+    scores = rng.uniform(0, 1, (b, a, k)).astype(np.float32)
+    common = dict(image_size=(256, 256), num_candidates=256,
+                  max_detections=40, exact=True)
+    lax_det = fused_detect_postprocess(
+        jnp.asarray(deltas), jnp.asarray(anchors), jnp.asarray(scores),
+        backend="lax", **common)
+    pl_det = fused_detect_postprocess(
+        jnp.asarray(deltas), jnp.asarray(anchors), jnp.asarray(scores),
+        backend="pallas", **common)
+    np.testing.assert_array_equal(np.asarray(pl_det.labels),
+                                  np.asarray(lax_det.labels))
+    np.testing.assert_allclose(np.asarray(pl_det.scores),
+                               np.asarray(lax_det.scores), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pl_det.boxes),
+                               np.asarray(lax_det.boxes), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(pl_det.num_valid),
+                                  np.asarray(lax_det.num_valid))

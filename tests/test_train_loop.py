@@ -1,0 +1,85 @@
+"""Training-loop orchestration tests: fit() end-to-end on synthetic data,
+ReduceLROnPlateau semantics, lr injection, Orbax checkpoint save/resume
+(SURVEY.md §5.3/§5.4: resume must restore optimizer state + step exactly)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from detjax.config import get_config
+from detjax.data import SyntheticDetectionDataset, make_train_iterator
+from detjax.train import (
+    ReduceLROnPlateau,
+    fit,
+    get_learning_rate,
+    make_train_state,
+    set_learning_rate,
+)
+
+
+def _cfg(**kw):
+    base = {
+        "model.image_size": (64, 64),
+        "model.num_classes": 4,
+        "train.batch_size": 2,
+        "train.max_gt": 4,
+        "train.learning_rate": 1e-3,
+        "train.checkpoint_every_steps": 5,
+        "train.eval_every_steps": 10 ** 9,
+    }
+    base.update(kw)
+    return get_config("retinanet_r50_640", **base)
+
+
+def test_set_get_learning_rate():
+    cfg = _cfg()
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    assert get_learning_rate(state) == pytest.approx(1e-3)
+    state = set_learning_rate(state, 5e-4)
+    assert get_learning_rate(state) == pytest.approx(5e-4)
+
+
+def test_plateau_controller_matches_torch_semantics():
+    p = ReduceLROnPlateau(factor=0.5, patience=2, threshold=0.0)
+    lr = 1.0
+    # improving losses: no drop
+    for v in (5.0, 4.0, 3.0):
+        assert p.update(v, lr) is None
+    # stagnation: drop only after patience+1 bad epochs
+    assert p.update(3.0, lr) is None  # bad 1
+    assert p.update(3.0, lr) is None  # bad 2
+    assert p.update(3.0, lr) == pytest.approx(0.5)  # bad 3 > patience
+    # counter resets after a drop
+    assert p.update(3.0, 0.5) is None
+
+
+def test_fit_runs_and_lr_is_adjustable(tmp_path):
+    cfg = _cfg()
+    ds = SyntheticDetectionDataset(num_images=8, image_size=(64, 64),
+                                   num_classes=4, max_objects=2)
+    it = make_train_iterator(ds, cfg)
+    res = fit(cfg, it, num_steps=6, checkpoint_dir=str(tmp_path / "ckpt"),
+              log_dir=str(tmp_path / "logs"), log_every=3)
+    assert int(np.asarray(res.state.step)) == 6
+    assert res.history, "history should have logged entries"
+    assert all(np.isfinite(h["loss"]) for h in res.history if "loss" in h)
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_fit_resume_from_checkpoint(tmp_path):
+    cfg = _cfg()
+    ds = SyntheticDetectionDataset(num_images=8, image_size=(64, 64),
+                                   num_classes=4, max_objects=2)
+    ckpt_dir = str(tmp_path / "ckpt")
+    res1 = fit(cfg, make_train_iterator(ds, cfg), num_steps=5,
+               checkpoint_dir=ckpt_dir)
+    assert int(np.asarray(res1.state.step)) == 5
+    # new fit with same dir resumes at 5 and continues to 8
+    res2 = fit(cfg, make_train_iterator(ds, cfg), num_steps=8,
+               checkpoint_dir=ckpt_dir)
+    assert int(np.asarray(res2.state.step)) == 8
+    # params actually moved on from the restored point
+    p1 = jax.tree.leaves(res1.state.params)[0]
+    p2 = jax.tree.leaves(res2.state.params)[0]
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
