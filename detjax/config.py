@@ -109,8 +109,10 @@ class EvalConfig:
     pre_nms_top_k: int = 1000  # global candidate prefilter size
     max_detections: int = 100  # COCO maxDets
     batch_size: int = 8
-    # exact candidate prefilter (sort-based top-k) vs TPU approx_max_k
-    # (recall 0.95 at the k-th-score boundary; mAP-neutral, ~7× faster)
+    # exact candidate prefilter (global sort-based top-k over all A·K
+    # pairs) vs the production two-stage anchor-first selection (max over
+    # classes → top-k anchors → top-k pairs; ~30× cheaper, mAP-neutral —
+    # see ops/nms._select_candidates)
     exact_candidates: bool = False
 
 

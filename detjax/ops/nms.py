@@ -26,6 +26,10 @@ Array = jnp.ndarray
 
 NEG_INF = -1e10
 
+# Below this many (anchor, class) pairs the exact global top-k is cheap
+# enough to always use (tests monkeypatch this to force the two-stage path).
+_EXACT_PAIRS_MAX = 1 << 16
+
 
 class NMSResult(NamedTuple):
     indices: Array  # [max_output] int32 into the input, -1 padding
@@ -161,23 +165,40 @@ def _select_candidates(
     num_candidates: int,
     exact: bool,
 ):
-    """Global top-k (anchor, class) candidates → decoded/clipped boxes."""
+    """Candidate (anchor, class) pairs by score → decoded/clipped boxes.
+
+    ``exact=True``: global sort-based top-k over all A·K pairs — the oracle.
+
+    ``exact=False`` (production): two-stage anchor-first selection. A full
+    top-k over the A·K ≈ 6M score tensor costs ~65 ms/batch on v5e — more
+    than 3× the whole R50 forward — because top-k is a multi-pass sort-like
+    reduction. Instead: (1) ONE cheap max-reduce over classes [A,K]→[A]
+    (HBM-bandwidth bound, fuses with the preceding sigmoid), (2) exact
+    top-``num_candidates`` anchors on the small [A] tensor, (3) exact top-k
+    pairs over the gathered [num_candidates, K] slab. This is the RetinaNet
+    lineage's own prefilter shape (top-k anchors by best class before NMS);
+    it can only drop pairs whose anchor holds >K/num_candidates stronger
+    anchors above it — at the 0.05 score floor that mass is AP-negligible
+    (tests: identical detections on peaked score distributions).
+    """
     from detjax.ops.boxes import clip_boxes, decode_boxes  # cycle-free import
 
     a, k = scores.shape
     n = min(num_candidates, a * k)
-    flat = jnp.where(scores > score_threshold, scores, NEG_INF).reshape(-1)
-    if exact or a * k <= 1 << 16:
-        # exact global top-k (sort-based; slow for multi-million inputs)
+    if exact or a * k <= _EXACT_PAIRS_MAX:
+        flat = jnp.where(scores > score_threshold, scores, NEG_INF).reshape(-1)
         cand_scores, cand_flat = jax.lax.top_k(flat, n)
+        cand_anchor = (cand_flat // k).astype(jnp.int32)
+        cand_label = (cand_flat % k).astype(jnp.int32)
     else:
-        # TPU PartialReduce top-k: ~7× faster on the 6M-score flagship
-        # shape; misses only candidates at the k-th-score boundary, which
-        # sit at the score floor and have negligible AP mass.
-        cand_scores, cand_flat = jax.lax.approx_max_k(
-            flat, n, recall_target=0.95)
-    cand_anchor = (cand_flat // k).astype(jnp.int32)
-    cand_label = (cand_flat % k).astype(jnp.int32)
+        n_anchor = min(n, a)
+        best_per_anchor = jnp.max(scores, axis=-1)  # [A]; fuses into sigmoid
+        _, top_anchor = jax.lax.top_k(best_per_anchor, n_anchor)  # [n_a]
+        slab = scores[top_anchor]  # [n_a, K] gather — tiny
+        slab = jnp.where(slab > score_threshold, slab, NEG_INF)
+        cand_scores, flat_idx = jax.lax.top_k(slab.reshape(-1), n)
+        cand_anchor = top_anchor[(flat_idx // k)].astype(jnp.int32)
+        cand_label = (flat_idx % k).astype(jnp.int32)
     # Decode ONLY the candidates (76× fewer boxes than decoding all anchors).
     cand_boxes = decode_boxes(deltas[cand_anchor], anchors[cand_anchor], box_std)
     cand_boxes = clip_boxes(cand_boxes, image_size)

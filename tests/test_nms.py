@@ -110,6 +110,39 @@ def test_batched_postprocess_shapes(rng):
         assert (np.diff(s[i, :nv]) <= 1e-6).all()
 
 
+def test_two_stage_candidates_match_exact_on_peaked_scores(rng, monkeypatch):
+    """Production anchor-first candidate selection must produce the same
+    detections as the exact global top-k when scores are peaked (the
+    realistic regime: few confident (anchor,class) pairs per image)."""
+    from detjax.ops import nms as nms_mod
+    from detjax.ops.nms import fused_detect_postprocess
+
+    b, a, k = 2, 300, 8
+    anchors = _boxes_scores(rng, a)[0]
+    deltas = rng.normal(0, 0.3, (b, a, 4)).astype(np.float32)
+    # mostly-background scores with a few confident detections
+    scores = rng.uniform(0, 0.03, (b, a, k)).astype(np.float32)
+    for bi in range(b):
+        for _ in range(12):
+            scores[bi, rng.integers(a), rng.integers(k)] = rng.uniform(0.4, 1)
+
+    common = dict(image_size=(256, 256), num_candidates=64, max_detections=20)
+    exact = fused_detect_postprocess(
+        jnp.asarray(deltas), jnp.asarray(anchors), jnp.asarray(scores),
+        exact=True, **common)
+    monkeypatch.setattr(nms_mod, "_EXACT_PAIRS_MAX", 0)  # force two-stage
+    fast = fused_detect_postprocess(
+        jnp.asarray(deltas), jnp.asarray(anchors), jnp.asarray(scores),
+        exact=False, **common)
+    np.testing.assert_array_equal(np.asarray(fast.num_valid),
+                                  np.asarray(exact.num_valid))
+    nv = int(exact.num_valid[0])
+    np.testing.assert_allclose(np.asarray(fast.scores[:, :nv]),
+                               np.asarray(exact.scores[:, :nv]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fast.labels[:, :nv]),
+                                  np.asarray(exact.labels[:, :nv]))
+
+
 def test_fused_postprocess_matches_per_class_path(rng):
     """Production fused path (global candidates + class-offset NMS) must give
     the same detections as the per-class reference path when the candidate
