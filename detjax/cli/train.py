@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Training CLI — the detjax mirror of the reference's ``train.py``
+(SURVEY.md §3.1: ``python train.py --dataset coco --depth 50 ...``).
+
+Examples:
+  # COCO (needs instances_train2017.json + images)
+  python scripts/train.py --preset retinanet_r50_640 \
+      --coco-path /data/coco --steps 90000 --ckpt-dir /tmp/run1
+
+  # self-contained synthetic smoke run (no data needed)
+  python scripts/train.py --synthetic --steps 200
+
+  # data-parallel over every visible chip (benchmark config 5)
+  python scripts/train.py --preset coco_v5e8 --coco-path /data/coco --dp
+Any config field is overridable: --set train.learning_rate=1e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+
+
+def parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        key, _, val = p.partition("=")
+        try:
+            out[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            out[key] = val
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--preset", default="retinanet_r50_640")
+    ap.add_argument("--coco-path", help="dir with annotations/ and images/")
+    ap.add_argument("--train-ann", help="explicit annotation JSON path")
+    ap.add_argument("--train-images", help="explicit image dir")
+    ap.add_argument("--val-ann")
+    ap.add_argument("--val-images")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on the synthetic dataset (smoke/demo)")
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--ckpt-dir", default="")
+    ap.add_argument("--log-dir", default="")
+    ap.add_argument("--dp", action="store_true",
+                    help="pjit data-parallel over all visible devices")
+    ap.add_argument("--import-backbone",
+                    help="torch state_dict .pt with pretrained ResNet")
+    ap.add_argument("--eval-images", type=int, default=None,
+                    help="cap on periodic-eval images")
+    ap.add_argument("--set", action="append", dest="overrides",
+                    metavar="group.field=value")
+    args = ap.parse_args()
+
+    import jax
+
+    from detjax.config import get_config
+    from detjax.data import CocoDataset, SyntheticDetectionDataset, make_train_iterator
+    from detjax.train import fit, make_train_state
+    from detjax.train.loop import FitResult
+
+    overrides = parse_overrides(args.overrides)
+    cfg = get_config(args.preset, **overrides)
+
+    if args.synthetic:
+        train_ds = SyntheticDetectionDataset(
+            num_images=64, image_size=cfg.model.image_size,
+            num_classes=cfg.model.num_classes)
+        eval_ds = SyntheticDetectionDataset(
+            num_images=16, image_size=cfg.model.image_size,
+            num_classes=cfg.model.num_classes, seed=1)
+    else:
+        ann = args.train_ann or os.path.join(
+            args.coco_path, "annotations",
+            f"instances_{cfg.data.train_split}.json")
+        imgs = args.train_images or os.path.join(
+            args.coco_path, cfg.data.train_split)
+        train_ds = CocoDataset(ann, imgs)
+        eval_ds = None
+        val_ann = args.val_ann or (args.coco_path and os.path.join(
+            args.coco_path, "annotations",
+            f"instances_{cfg.data.eval_split}.json"))
+        if val_ann and os.path.exists(val_ann):
+            eval_ds = CocoDataset(
+                val_ann, args.val_images or os.path.join(
+                    args.coco_path, cfg.data.eval_split))
+
+    state = make_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if args.import_backbone:
+        from detjax.utils.torch_import import (import_into_variables,
+                                               load_state_dict_file)
+
+        sd = load_state_dict_file(args.import_backbone)
+        variables = import_into_variables(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sd, depth=cfg.model.backbone_depth)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"imported pretrained backbone from {args.import_backbone}")
+
+    mesh = None
+    if args.dp:
+        from detjax.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel mesh: {mesh}")
+
+    result: FitResult = fit(
+        cfg, make_train_iterator(train_ds, cfg), num_steps=args.steps,
+        state=state, eval_dataset=eval_ds,
+        eval_max_images=args.eval_images,
+        checkpoint_dir=args.ckpt_dir or None,
+        log_dir=args.log_dir or None, mesh=mesh)
+    print(f"done: step={int(result.state.step)} "
+          f"throughput={result.images_per_sec:.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()

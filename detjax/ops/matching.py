@@ -60,12 +60,34 @@ def _match_single(
                        positive, negative, max_iou)
 
 
+def _result_from_best(
+    max_iou: Array,  # [B, A]
+    matched_gt: Array,  # [B, A] int32
+    gt_boxes: Array,  # [B, G, 4]
+    gt_labels: Array,  # [B, G]
+    fg_iou_threshold: float,
+    bg_iou_threshold: float,
+) -> MatchResult:
+    """Thresholding + target gathers shared by the lax and Pallas paths."""
+    valid = gt_labels >= 0
+    any_valid = jnp.any(valid, axis=-1, keepdims=True)  # [B, 1]
+    positive = (max_iou >= fg_iou_threshold) & any_valid
+    negative = max_iou < bg_iou_threshold
+    labels = jnp.take_along_axis(gt_labels, matched_gt, axis=-1)
+    matched_labels = jnp.where(positive, labels, -1).astype(jnp.int32)
+    boxes = jnp.take_along_axis(gt_boxes, matched_gt[..., None], axis=-2)
+    matched_boxes = jnp.where(positive[..., None], boxes, 0.0)
+    return MatchResult(matched_gt, matched_labels, matched_boxes,
+                       positive, negative, max_iou)
+
+
 def match_anchors(
     anchors: Array,
     gt_boxes: Array,
     gt_labels: Array,
     fg_iou_threshold: float = 0.5,
     bg_iou_threshold: float = 0.4,
+    backend: str = "auto",  # "auto" | "pallas" | "lax"
 ) -> MatchResult:
     """Batched matching.
 
@@ -73,10 +95,27 @@ def match_anchors(
       anchors: [A, 4] xyxy (shared across the batch — a trace-time constant).
       gt_boxes: [B, G, 4] xyxy, padded.
       gt_labels: [B, G] int32 class ids in [0, K); ``-1`` marks padding.
+      backend: "pallas" streams the [A, G] IoU through VMEM tiles (never
+        materializing [B, A, G] in HBM — detjax.kernels.matching); "lax" is
+        the broadcast oracle; "auto" picks pallas on TPU.
 
     Returns a :class:`MatchResult` with leading batch dim B.
     """
-    fn = lambda b, l: _match_single(anchors, b, l, fg_iou_threshold, bg_iou_threshold)
     if gt_boxes.ndim == 2:
-        return fn(gt_boxes, gt_labels)
+        return _match_single(anchors, gt_boxes, gt_labels,
+                             fg_iou_threshold, bg_iou_threshold)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+    if backend == "pallas":
+        from detjax.kernels.matching import match_iou_pallas
+
+        max_iou, matched_gt = match_iou_pallas(
+            anchors, gt_boxes, gt_labels >= 0)
+        # assignment is a non-differentiable decision; targets are
+        # constants in the loss (lineage semantics) — also keeps AD from
+        # ever requesting a VJP of the kernel
+        max_iou = jax.lax.stop_gradient(max_iou)
+        return _result_from_best(max_iou, matched_gt, gt_boxes, gt_labels,
+                                 fg_iou_threshold, bg_iou_threshold)
+    fn = lambda b, l: _match_single(anchors, b, l, fg_iou_threshold, bg_iou_threshold)
     return jax.vmap(fn)(gt_boxes, gt_labels)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Per-config throughput measurements (BASELINE.json configs 1–4).
+
+Prints one JSON line per benchmark config; the repo-root bench.py remains
+the driver's single-line headline. Run on the TPU (default python).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _measure_infer(cfg, bs, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from detjax.modeling import _detect_fn, build_model
+
+    h, w = cfg.model.image_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), jnp.float32)
+    module, variables = build_model(cfg, jax.random.PRNGKey(0))
+    dfn = _detect_fn(cfg)
+    float(np.asarray(dfn(variables, images).scores.sum()))
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs.append(dfn(variables, images).scores)
+    float(np.asarray(jnp.stack([o[0, 0] for o in outs]).sum()))
+    return bs * iters / (time.perf_counter() - t0)
+
+
+def _measure_train(cfg, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from detjax.train.step import make_train_state, make_train_step
+
+    bs = cfg.train.batch_size
+    h, w = cfg.model.image_size
+    g = cfg.train.max_gt
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray(np.concatenate([
+            np.tile(np.asarray([[[50, 50, 300, 300], [200, 200, 500, 500]]],
+                               np.float32), (bs, 1, 1)),
+            np.zeros((bs, g - 2, 4), np.float32)], axis=1)),
+        "gt_labels": jnp.asarray(np.concatenate([
+            np.tile(np.asarray([[3, 7]], np.int32), (bs, 1)),
+            -np.ones((bs, g - 2), np.int32)], axis=1)),
+    }
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    s, m = step(state, batch)
+    float(np.asarray(m["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, m = step(s, batch)
+    float(np.asarray(m["loss"]))
+    return bs * iters / (time.perf_counter() - t0)
+
+
+def main():
+    from detjax.config import get_config
+
+    out = []
+    # config 1: R50-640 single-image end-to-end inference
+    cfg = get_config("retinanet_r50_640")
+    out.append({"config": 1, "metric": "R50-640 single-image fused infer",
+                "value": round(_measure_infer(cfg, bs=1), 2),
+                "unit": "images/sec/chip"})
+    # config 2: SSD-512 batched inference bs=8
+    cfg = get_config("ssd_512")
+    out.append({"config": 2, "metric": "SSD-512 bs=8 fused infer",
+                "value": round(_measure_infer(cfg, bs=8), 2),
+                "unit": "images/sec/chip"})
+    # config 3: R50-640 train step bs=16
+    cfg = get_config("retinanet_r50_640")
+    out.append({"config": 3, "metric": "R50-640 train bs=16",
+                "value": round(_measure_train(cfg), 2),
+                "unit": "images/sec/chip"})
+    # config 4: R101-640 train bs=16 + eval-path infer bs=8
+    cfg = get_config("retinanet_r101_fpn")
+    out.append({"config": 4, "metric": "R101-640 train bs=16",
+                "value": round(_measure_train(cfg), 2),
+                "unit": "images/sec/chip"})
+    out.append({"config": 4, "metric": "R101-640 bs=8 fused infer",
+                "value": round(_measure_infer(cfg, bs=8), 2),
+                "unit": "images/sec/chip"})
+    for rec in out:
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,66 +1,7 @@
 #!/usr/bin/env python
-"""Detection demo CLI — mirror of the reference's ``visualize.py`` demo
-(SURVEY.md §2 #19): run the fused detect path on image files and save
-box-annotated copies."""
-
-from __future__ import annotations
-
-import argparse
-import os
-import sys
-
+"""Checkout wrapper for `detjax-detect` (see detjax/cli/detect.py)."""
+import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("images", nargs="+", help="input image file(s)")
-    ap.add_argument("--preset", default="retinanet_r50_640")
-    ap.add_argument("--ckpt-dir", required=True)
-    ap.add_argument("--out-dir", default="detections")
-    ap.add_argument("--score-threshold", type=float, default=0.3)
-    args = ap.parse_args()
-
-    import numpy as np
-    from PIL import Image
-
-    import jax
-    import jax.numpy as jnp
-
-    from detjax.config import get_config
-    from detjax.data.coco import COCO_CLASSES
-    from detjax.data.pipeline import device_augment
-    from detjax.data.transforms import letterbox
-    from detjax.modeling import detect
-    from detjax.train import make_train_state
-    from detjax.train.checkpoint import Checkpointer
-    from detjax.utils.visualize import draw_detections
-
-    cfg = get_config(args.preset)
-    state = make_train_state(cfg, jax.random.PRNGKey(0))
-    state = Checkpointer(args.ckpt_dir).restore(state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    names = (COCO_CLASSES if cfg.model.num_classes == len(COCO_CLASSES)
-             else None)
-
-    os.makedirs(args.out_dir, exist_ok=True)
-    for path in args.images:
-        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
-        canvas, _, scale = letterbox(img, np.zeros((0, 4), np.float32),
-                                     cfg.model.image_size)
-        x, _ = device_augment(jnp.asarray(canvas)[None],
-                              jnp.zeros((1, 1, 4), jnp.float32),
-                              jax.random.PRNGKey(0), hflip_prob=0.0)
-        det = detect(variables, x, cfg)
-        nv = int(det.num_valid[0])
-        boxes = np.asarray(det.boxes[0, :nv]) / scale
-        out = draw_detections(img, boxes, np.asarray(det.scores[0, :nv]),
-                              np.asarray(det.labels[0, :nv]), names,
-                              args.score_threshold)
-        dst = os.path.join(args.out_dir, os.path.basename(path))
-        Image.fromarray(out).save(dst)
-        print(f"{path}: {nv} detections → {dst}")
-
-
+from detjax.cli.detect import main
 if __name__ == "__main__":
     main()

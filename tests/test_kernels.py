@@ -72,6 +72,51 @@ def test_decode_pallas_unclipped(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_match_iou_pallas_matches_lax(rng):
+    from detjax.kernels.matching import match_iou_pallas
+    from detjax.ops.matching import match_anchors
+
+    b, a, g = 3, 500, 7
+    anchors = _random_candidates(rng, b=1, n=a)[0][0]
+    gt = _random_candidates(rng, b=b, n=g)[0]
+    labels = rng.integers(0, 5, (b, g)).astype(np.int32)
+    labels[:, -2:] = -1  # padding
+    labels[1, :] = -1  # one image with no GT at all
+
+    iou, idx = match_iou_pallas(jnp.asarray(anchors), jnp.asarray(gt),
+                                jnp.asarray(labels) >= 0, tile=256,
+                                interpret=True)
+    ref = match_anchors(jnp.asarray(anchors), jnp.asarray(gt),
+                        jnp.asarray(labels), backend="lax")
+    np.testing.assert_allclose(np.asarray(iou), np.asarray(ref.max_iou),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.matched_gt))
+
+
+def test_match_anchors_pallas_backend_full_result(rng):
+    from detjax.ops import matching as matching_mod
+    from detjax.ops.matching import match_anchors
+
+    b, a, g = 2, 300, 5
+    anchors = _random_candidates(rng, b=1, n=a)[0][0]
+    gt = _random_candidates(rng, b=b, n=g)[0]
+    labels = rng.integers(0, 4, (b, g)).astype(np.int32)
+    labels[:, -1] = -1
+    # force the pallas path even off-TPU (interpret picks up automatically)
+    got = match_anchors(jnp.asarray(anchors), jnp.asarray(gt),
+                        jnp.asarray(labels), backend="pallas")
+    want = match_anchors(jnp.asarray(anchors), jnp.asarray(gt),
+                         jnp.asarray(labels), backend="lax")
+    np.testing.assert_array_equal(np.asarray(got.positive),
+                                  np.asarray(want.positive))
+    np.testing.assert_array_equal(np.asarray(got.negative),
+                                  np.asarray(want.negative))
+    np.testing.assert_array_equal(np.asarray(got.matched_labels),
+                                  np.asarray(want.matched_labels))
+    np.testing.assert_allclose(np.asarray(got.matched_boxes),
+                               np.asarray(want.matched_boxes), atol=1e-6)
+
+
 def test_fused_postprocess_pallas_backend_matches_lax(rng):
     b, a, k = 2, 120, 5
     anchors = _random_candidates(rng, b=1, n=a)[0][0]
