@@ -53,11 +53,19 @@ def main():
                     help="torch state_dict .pt with pretrained ResNet")
     ap.add_argument("--eval-images", type=int, default=None,
                     help="cap on periodic-eval images")
+    ap.add_argument("--debug", action="store_true",
+                    help="enable jax_debug_nans NaN hunting (SURVEY.md §5.2)")
+    ap.add_argument("--trace-dir", default="",
+                    help="capture a jax.profiler device trace of the first "
+                         "logged window into this dir (Perfetto/TensorBoard)")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
     args = ap.parse_args()
 
     import jax
+
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
 
     from detjax.config import get_config
     from detjax.data import CocoDataset, SyntheticDetectionDataset, make_train_iterator
@@ -110,12 +118,19 @@ def main():
         mesh = make_mesh()
         print(f"data-parallel mesh: {mesh}")
 
-    result: FitResult = fit(
-        cfg, make_train_iterator(train_ds, cfg), num_steps=args.steps,
-        state=state, eval_dataset=eval_ds,
-        eval_max_images=args.eval_images,
-        checkpoint_dir=args.ckpt_dir or None,
-        log_dir=args.log_dir or None, mesh=mesh)
+    import contextlib
+
+    from detjax.utils.profiling import trace_context
+
+    tracing = (trace_context("detjax-train", args.trace_dir)
+               if args.trace_dir else contextlib.nullcontext())
+    with tracing:
+        result: FitResult = fit(
+            cfg, make_train_iterator(train_ds, cfg), num_steps=args.steps,
+            state=state, eval_dataset=eval_ds,
+            eval_max_images=args.eval_images,
+            checkpoint_dir=args.ckpt_dir or None,
+            log_dir=args.log_dir or None, mesh=mesh)
     print(f"done: step={int(result.state.step)} "
           f"throughput={result.images_per_sec:.1f} img/s")
 

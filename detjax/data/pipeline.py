@@ -71,7 +71,8 @@ class DetectionIterator:
                  max_gt: int = 100, shuffle: bool = True, repeat: bool = True,
                  seed: int = 0, crop: bool = False,
                  crop_range: Tuple[float, float] = (0.3, 1.0),
-                 drop_remainder: bool = True, prefetch: int = 2):
+                 drop_remainder: bool = True, prefetch: int = 2,
+                 workers: int = 1):
         self.ds = dataset
         self.bs = batch_size
         self.hw = image_size
@@ -83,6 +84,10 @@ class DetectionIterator:
         self.crop_range = crop_range
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+        # decode/resize threads (the reference's DataLoader workers,
+        # SURVEY.md §2 #15 — threads suffice here: PIL decode and the
+        # native resize both release the GIL)
+        self.workers = max(1, workers)
 
     def _record_to_example(self, rec: dict, rng: np.random.Generator) -> dict:
         img, boxes, labels = rec["image"], rec["boxes"], rec["labels"]
@@ -100,14 +105,43 @@ class DetectionIterator:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
         return idx
 
+    def _examples(self, order, epoch: int):
+        """Decoded examples in ``order``; multi-threaded when workers > 1.
+
+        Per-example RNG is keyed (seed, epoch, index) so results are
+        identical regardless of worker count or completion order."""
+        if self.workers == 1:
+            rng = np.random.default_rng((self.seed, epoch))
+            for i in order:
+                yield self._record_to_example(self.ds[int(i)], rng)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(i):
+            rng = np.random.default_rng((self.seed, epoch, int(i)))
+            return self._record_to_example(self.ds[int(i)], rng)
+
+        window = self.workers * 2
+        with ThreadPoolExecutor(self.workers) as pool:
+            pending = collections.deque()
+            it = iter(order)
+            for i in it:
+                pending.append(pool.submit(load, i))
+                if len(pending) >= window:
+                    break
+            for i in it:
+                yield pending.popleft().result()
+                pending.append(pool.submit(load, i))
+            while pending:
+                yield pending.popleft().result()
+
     def _gen(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = 0
         while True:
             order = self._epoch_order(epoch)
-            rng = np.random.default_rng((self.seed, epoch))
             buf = []
-            for i in order:
-                buf.append(self._record_to_example(self.ds[int(i)], rng))
+            for ex in self._examples(order, epoch):
+                buf.append(ex)
                 if len(buf) == self.bs:
                     yield self._stack(buf)
                     buf = []
@@ -179,11 +213,12 @@ def make_train_iterator(dataset, cfg: Config):
         max_gt=cfg.train.max_gt, shuffle=True, repeat=True,
         seed=cfg.train.seed, crop=cfg.data.random_crop,
         crop_range=(cfg.data.crop_min_scale, cfg.data.crop_max_scale),
-        prefetch=cfg.data.prefetch)
+        prefetch=cfg.data.prefetch, workers=cfg.data.host_workers)
 
 
 def make_eval_iterator(dataset, cfg: Config):
     return DetectionIterator(
         dataset, cfg.eval.batch_size, cfg.model.image_size,
         max_gt=cfg.train.max_gt, shuffle=False, repeat=False, crop=False,
-        drop_remainder=False, prefetch=cfg.data.prefetch)
+        drop_remainder=False, prefetch=cfg.data.prefetch,
+        workers=cfg.data.host_workers)

@@ -44,15 +44,11 @@ def _gt_provider(dataset) -> Callable[[int], GroundTruth]:
     return generic_gt
 
 
-def run_coco_eval(variables, dataset, cfg: Config,
-                  max_images: Optional[int] = None) -> EvalResult:
-    """Run detection over ``dataset`` and compute COCO bbox metrics.
-
-    Returns :class:`EvalResult`; ``result["AP"]`` is mAP@[.5:.95].
-    """
+def iter_detections(variables, dataset, cfg: Config,
+                    max_images: Optional[int] = None):
+    """Yield ``(image_id, boxes, scores, labels)`` per image in ORIGINAL
+    image coordinates, running the fused batched detect path."""
     detect = _detect_fn(cfg)
-    gt_of = _gt_provider(dataset)
-    metric = COCOMetric(category_ids=list(range(cfg.model.num_classes)))
     zeros_rng = jax.random.PRNGKey(0)
     n_done = 0
     for batch in make_eval_iterator(dataset, cfg):
@@ -73,9 +69,41 @@ def run_coco_eval(variables, dataset, cfg: Config,
                 continue
             scale = float(batch["scale"][i])
             nv = int(num_valid[i])
-            metric.add(img_id, gt_of(img_id),
-                       boxes[i, :nv] / scale, scores[i, :nv], labels[i, :nv])
+            yield (img_id, boxes[i, :nv] / scale, scores[i, :nv],
+                   labels[i, :nv])
             n_done += 1
             if max_images is not None and n_done >= max_images:
-                return metric.compute()
+                return
+
+
+def run_coco_eval(variables, dataset, cfg: Config,
+                  max_images: Optional[int] = None) -> EvalResult:
+    """Run detection over ``dataset`` and compute COCO bbox metrics.
+
+    Returns :class:`EvalResult`; ``result["AP"]`` is mAP@[.5:.95].
+    """
+    gt_of = _gt_provider(dataset)
+    metric = COCOMetric(category_ids=list(range(cfg.model.num_classes)))
+    for img_id, boxes, scores, labels in iter_detections(
+            variables, dataset, cfg, max_images):
+        metric.add(img_id, gt_of(img_id), boxes, scores, labels)
     return metric.compute()
+
+
+def run_voc_eval(variables, dataset, cfg: Config,
+                 iou_threshold: float = 0.5,
+                 max_images: Optional[int] = None):
+    """VOC-style per-class AP over ``dataset`` (the reference lineage's
+    csv_eval protocol — SURVEY.md §2 #18). Returns {"mAP", "AP/<class>"}."""
+    from detjax.evaluation.voc import evaluate_voc
+
+    gt_of = _gt_provider(dataset)
+    gts, dets = {}, {}
+    for img_id, boxes, scores, labels in iter_detections(
+            variables, dataset, cfg, max_images):
+        g = gt_of(img_id)
+        gts[img_id] = {"boxes": g.boxes, "labels": g.labels}
+        dets[img_id] = {"boxes": boxes, "scores": scores, "labels": labels}
+    return evaluate_voc(gts, dets, num_classes=cfg.model.num_classes,
+                        iou_threshold=iou_threshold,
+                        class_names=getattr(dataset, "class_names", None))

@@ -57,7 +57,10 @@ def _detect_fn(cfg: Config):
     def run(variables, images) -> Detections:
         anchors = jnp.asarray(anchors_np)
         cls_logits, box_deltas = module.apply(variables, images, train=False)
-        scores = jax.nn.sigmoid(cls_logits)  # [B, A, K]
+        # fp32 from here: bf16 box deltas would quantize decoded coords to
+        # ~2 px at 640 and bf16 scores would coarsen top-k ranking
+        box_deltas = box_deltas.astype(jnp.float32)
+        scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))  # [B, A, K]
         return fused_detect_postprocess(
             box_deltas, anchors, scores,
             box_std=cfg.model.box_std,

@@ -1,10 +1,11 @@
 """Full detector assembly: backbone → FPN → head (SURVEY.md §1 model layer).
 
-``Detector.__call__`` returns raw ``(cls_logits, box_deltas)`` in float32 —
-loss attachment (train) and decode+NMS (eval) live OUTSIDE the module as
-pure functions (detjax.train.step / detjax.modeling), which is the
-functional-JAX analog of the reference's loss-inside-forward design
-(SURVEY.md §1 "distinctive design trait").
+``Detector.__call__`` returns raw ``(cls_logits, box_deltas)`` in the
+compute dtype (bf16) — loss attachment (train) and decode+NMS (eval) live
+OUTSIDE the module as pure functions (detjax.train.step / detjax.modeling),
+which is the functional-JAX analog of the reference's loss-inside-forward
+design (SURVEY.md §1 "distinctive design trait"); both cast to fp32 at
+their entry.
 """
 
 from __future__ import annotations
@@ -52,7 +53,12 @@ class Detector(nn.Module):
         else:
             raise ValueError(f"unknown model family {cfg.family!r}")
         cls_logits, box_deltas = head(pyramid)
-        return cls_logits.astype(jnp.float32), box_deltas.astype(jnp.float32)
+        # Outputs stay in compute dtype (bf16): forcing fp32 here doubles
+        # the HBM traffic of the biggest activation ([B, ΣA, K] ≈ 100 MB at
+        # the flagship shape) in BOTH directions of the train step. Loss and
+        # detect cast to fp32 at their own entry (bf16→fp32 is exact), so
+        # the math is unchanged.
+        return cls_logits, box_deltas
 
 
 def build_detector(cfg: ModelConfig) -> Detector:

@@ -48,7 +48,14 @@ def focal_loss(
     ce = targets * jax.nn.softplus(-logits) + (1.0 - targets) * jax.nn.softplus(logits)
     p_t = targets * p + (1.0 - targets) * (1.0 - p)
     alpha_t = targets * alpha + (1.0 - targets) * (1.0 - alpha)
-    loss = alpha_t * jnp.power(1.0 - p_t, gamma) * ce  # [..., A, K]
+    one_minus_pt = 1.0 - p_t
+    if gamma == 2.0:  # pow lowers to exp∘log — squaring is pure VPU
+        focal_w = one_minus_pt * one_minus_pt
+    elif gamma == 1.0:
+        focal_w = one_minus_pt
+    else:
+        focal_w = jnp.power(one_minus_pt, gamma)
+    loss = alpha_t * focal_w * ce  # [..., A, K]
     weight = (positive | negative).astype(jnp.float32)  # ignore-zone anchors drop out
     loss = loss * weight[..., None]
     num_pos = jnp.maximum(jnp.sum(positive.astype(jnp.float32), axis=-1), 1.0)

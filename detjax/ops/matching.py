@@ -109,13 +109,20 @@ def match_anchors(
     if backend == "pallas":
         from detjax.kernels.matching import match_iou_pallas
 
-        max_iou, matched_gt = match_iou_pallas(
-            anchors, gt_boxes, gt_labels >= 0)
+        max_iou, matched_gt, mboxes, mlabels_raw = match_iou_pallas(
+            anchors, gt_boxes, gt_labels >= 0, gt_labels)
         # assignment is a non-differentiable decision; targets are
         # constants in the loss (lineage semantics) — also keeps AD from
         # ever requesting a VJP of the kernel
         max_iou = jax.lax.stop_gradient(max_iou)
-        return _result_from_best(max_iou, matched_gt, gt_boxes, gt_labels,
-                                 fg_iou_threshold, bg_iou_threshold)
+        mboxes = jax.lax.stop_gradient(mboxes)
+        valid = gt_labels >= 0
+        any_valid = jnp.any(valid, axis=-1, keepdims=True)
+        positive = (max_iou >= fg_iou_threshold) & any_valid
+        negative = max_iou < bg_iou_threshold
+        matched_labels = jnp.where(positive, mlabels_raw, -1).astype(jnp.int32)
+        matched_boxes = jnp.where(positive[..., None], mboxes, 0.0)
+        return MatchResult(matched_gt, matched_labels, matched_boxes,
+                           positive, negative, max_iou)
     fn = lambda b, l: _match_single(anchors, b, l, fg_iou_threshold, bg_iou_threshold)
     return jax.vmap(fn)(gt_boxes, gt_labels)

@@ -28,13 +28,17 @@ def _measure_infer(cfg, bs, iters=20):
     images = jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), jnp.float32)
     module, variables = build_model(cfg, jax.random.PRNGKey(0))
     dfn = _detect_fn(cfg)
-    float(np.asarray(dfn(variables, images).scores.sum()))
-    outs = []
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outs.append(dfn(variables, images).scores)
-    float(np.asarray(jnp.stack([o[0, 0] for o in outs]).sum()))
-    return bs * iters / (time.perf_counter() - t0)
+
+    def _round(n):
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(n):
+            outs.append(dfn(variables, images).scores)
+        float(np.asarray(jnp.stack([o[0, 0] for o in outs]).sum()))
+        return (time.perf_counter() - t0) / n
+
+    _round(10)  # compile + settle (first round after compile is ~10× slow)
+    return bs / min(_round(iters), _round(iters))
 
 
 def _measure_train(cfg, iters=20):
@@ -60,6 +64,9 @@ def _measure_train(cfg, iters=20):
     state = make_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg)
     s, m = step(state, batch)
+    float(np.asarray(m["loss"]))
+    for _ in range(4):  # tunnel ramp warmup (see _measure_infer)
+        s, m = step(s, batch)
     float(np.asarray(m["loss"]))
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -167,3 +167,31 @@ def test_device_augment_no_flip_identity():
     from detjax.data.transforms import normalize_image
     np.testing.assert_allclose(np.asarray(x)[0], normalize_image(img[0]),
                                atol=1e-5)
+
+
+def test_threaded_iterator_deterministic_and_ordered():
+    """workers>1 must preserve order and be run-to-run deterministic
+    (per-example RNG keyed by (seed, epoch, index))."""
+    from detjax.data.pipeline import DetectionIterator
+
+    ds = SyntheticDetectionDataset(num_images=12, image_size=(64, 64),
+                                   num_classes=3, max_objects=2)
+
+    def batches(workers):
+        it = DetectionIterator(ds, batch_size=4, image_size=(48, 48),
+                               max_gt=4, shuffle=True, repeat=False,
+                               seed=7, crop=True, prefetch=0,
+                               workers=workers)
+        return list(it)
+
+    a = batches(3)
+    b = batches(3)
+    assert len(a) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["gt_boxes"], y["gt_boxes"])
+        np.testing.assert_array_equal(x["image_id"], y["image_id"])
+    # same shuffle order as the single-worker path (decode order preserved)
+    c = batches(1)
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x["image_id"], y["image_id"])

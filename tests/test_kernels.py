@@ -83,14 +83,19 @@ def test_match_iou_pallas_matches_lax(rng):
     labels[:, -2:] = -1  # padding
     labels[1, :] = -1  # one image with no GT at all
 
-    iou, idx = match_iou_pallas(jnp.asarray(anchors), jnp.asarray(gt),
-                                jnp.asarray(labels) >= 0, tile=256,
-                                interpret=True)
+    iou, idx, mboxes, mlabels = match_iou_pallas(
+        jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(labels) >= 0,
+        jnp.asarray(labels), tile=256, interpret=True)
     ref = match_anchors(jnp.asarray(anchors), jnp.asarray(gt),
                         jnp.asarray(labels), backend="lax")
     np.testing.assert_allclose(np.asarray(iou), np.asarray(ref.max_iou),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.matched_gt))
+    # kernel-extracted targets == gathered targets at the argmax slots
+    want_boxes = np.take_along_axis(gt, np.asarray(idx)[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(mboxes), want_boxes, atol=1e-6)
+    want_labels = np.take_along_axis(labels, np.asarray(idx), axis=1)
+    np.testing.assert_array_equal(np.asarray(mlabels), want_labels)
 
 
 def test_match_anchors_pallas_backend_full_result(rng):

@@ -27,7 +27,8 @@ def test_output_shapes_match_anchors(r50_small):
     a = num_anchors((128, 128), anchor_config(cfg))
     assert cls.shape == (2, a, 80)
     assert box.shape == (2, a, 4)
-    assert cls.dtype == jnp.float32
+    # raw head outputs stay in compute dtype (bf16) — consumers cast
+    assert cls.dtype == jnp.bfloat16
 
 
 def test_prior_prob_init(r50_small):
