@@ -72,7 +72,8 @@ class DetectionIterator:
                  seed: int = 0, crop: bool = False,
                  crop_range: Tuple[float, float] = (0.3, 1.0),
                  drop_remainder: bool = True, prefetch: int = 2,
-                 workers: int = 1):
+                 workers: int = 1, shard_index: int = 0,
+                 num_shards: int = 1):
         self.ds = dataset
         self.bs = batch_size
         self.hw = image_size
@@ -88,6 +89,8 @@ class DetectionIterator:
         # SURVEY.md §2 #15 — threads suffice here: PIL decode and the
         # native resize both release the GIL)
         self.workers = max(1, workers)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
 
     def _record_to_example(self, rec: dict, rng: np.random.Generator) -> dict:
         img, boxes, labels = rec["image"], rec["boxes"], rec["labels"]
@@ -103,6 +106,11 @@ class DetectionIterator:
         idx = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.num_shards > 1:
+            # per-host shard (multi-host DP, SURVEY.md §5.8): every host
+            # sees a disjoint stride of the SAME seeded shuffle, so the
+            # global batch is a permutation of the dataset with no overlap
+            idx = idx[self.shard_index::self.num_shards]
         return idx
 
     def _examples(self, order, epoch: int):
@@ -207,13 +215,26 @@ class DetectionIterator:
             done.set()
 
 
-def make_train_iterator(dataset, cfg: Config):
+def make_train_iterator(dataset, cfg: Config, per_host: bool = False):
+    """Train batches; ``per_host=True`` gives this process its shard of the
+    data and of the global batch (multi-host pjit DP — each host feeds its
+    own chips; jax.make_array_from_process_local_data assembles the global
+    batch)."""
+    import jax
+
+    shard_index, num_shards = (
+        (jax.process_index(), jax.process_count()) if per_host else (0, 1))
+    bs = cfg.train.batch_size
+    if per_host:
+        assert bs % num_shards == 0, (bs, num_shards)
+        bs //= num_shards
     return DetectionIterator(
-        dataset, cfg.train.batch_size, cfg.model.image_size,
+        dataset, bs, cfg.model.image_size,
         max_gt=cfg.train.max_gt, shuffle=True, repeat=True,
         seed=cfg.train.seed, crop=cfg.data.random_crop,
         crop_range=(cfg.data.crop_min_scale, cfg.data.crop_max_scale),
-        prefetch=cfg.data.prefetch, workers=cfg.data.host_workers)
+        prefetch=cfg.data.prefetch, workers=cfg.data.host_workers,
+        shard_index=shard_index, num_shards=num_shards)
 
 
 def make_eval_iterator(dataset, cfg: Config):

@@ -9,6 +9,7 @@ launcher, identical program on 1 chip and v5e-8.
 """
 
 from detjax.parallel.mesh import (
+    global_batch_from_local,
     make_mesh,
     replicate,
     shard_batch,
@@ -20,6 +21,7 @@ __all__ = [
     "make_mesh",
     "replicate",
     "shard_batch",
+    "global_batch_from_local",
     "make_parallel_train_step",
     "parallel_train_state",
 ]

@@ -41,6 +41,17 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
     return jax.device_put(batch, s)
 
 
+def global_batch_from_local(batch: Dict[str, Any], mesh: Mesh,
+                            axis_name: str = "data"):
+    """Assemble a GLOBAL batch from this process's local shard (multi-host
+    DP): each host feeds only its per-host slice (see
+    ``make_train_iterator(per_host=True)``); the returned arrays are
+    globally sharded on ``axis_name`` with zero cross-host copies."""
+    s = NamedSharding(mesh, P(axis_name))
+    return {k: jax.make_array_from_process_local_data(s, np.asarray(v))
+            for k, v in batch.items()}
+
+
 def parallel_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Replicate an existing host/state onto the mesh."""
     return replicate(state, mesh)

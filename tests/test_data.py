@@ -195,3 +195,19 @@ def test_threaded_iterator_deterministic_and_ordered():
     c = batches(1)
     for x, y in zip(a, c):
         np.testing.assert_array_equal(x["image_id"], y["image_id"])
+
+
+def test_sharded_iterator_partitions_dataset():
+    from detjax.data.pipeline import DetectionIterator
+
+    ds = SyntheticDetectionDataset(num_images=16, image_size=(64, 64),
+                                   num_classes=3, max_objects=2)
+    seen = []
+    for shard in range(4):
+        it = DetectionIterator(ds, batch_size=2, image_size=(48, 48),
+                               max_gt=4, shuffle=True, repeat=False, seed=1,
+                               prefetch=0, shard_index=shard, num_shards=4)
+        for b in it:
+            seen.extend(int(i) for i in b["image_id"])
+    # disjoint cover of the dataset across shards
+    assert sorted(seen) == list(range(16))

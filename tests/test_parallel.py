@@ -80,3 +80,19 @@ def test_parallel_step_multiple_iterations_loss_decreases():
         if first is None:
             first = float(m["loss"])
     assert float(m["loss"]) < first
+
+
+def test_global_batch_from_local_single_process():
+    """On one process the local shard IS the global batch; array must be
+    sharded over the mesh batch axis."""
+    import numpy as np
+    from detjax.parallel import global_batch_from_local, make_mesh
+
+    mesh = make_mesh()
+    n = len(jax.devices())
+    local = {"images": np.arange(n * 4 * 4 * 3, dtype=np.float32).reshape(
+        n, 4, 4, 3)}
+    g = global_batch_from_local(local, mesh)
+    assert g["images"].shape == (n, 4, 4, 3)
+    assert len(g["images"].sharding.device_set) == n
+    np.testing.assert_array_equal(np.asarray(g["images"]), local["images"])
