@@ -16,6 +16,8 @@ def main():
     ap.add_argument("--ckpt-dir", required=True)
     ap.add_argument("--out-dir", default="detections")
     ap.add_argument("--score-threshold", type=float, default=0.3)
+    ap.add_argument("--set", action="append", dest="overrides",
+                    metavar="group.field=value")
     args = ap.parse_args()
 
     import numpy as np
@@ -33,7 +35,16 @@ def main():
     from detjax.train.checkpoint import Checkpointer
     from detjax.utils.visualize import draw_detections
 
-    cfg = get_config(args.preset)
+    import ast
+
+    overrides = {}
+    for p in args.overrides or []:
+        key, _, val = p.partition("=")
+        try:
+            overrides[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            overrides[key] = val
+    cfg = get_config(args.preset, **overrides)
     state = make_train_state(cfg, jax.random.PRNGKey(0))
     state = Checkpointer(args.ckpt_dir).restore(state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
