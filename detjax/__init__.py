@@ -31,6 +31,21 @@ from detjax.api import build_model, train_step, detect, make_train_state
 
 __version__ = "0.1.0"
 
+
+def fit(*args, **kwargs):
+    """Training-loop orchestration — see :func:`detjax.train.loop.fit`."""
+    from detjax.train.loop import fit as _fit
+
+    return _fit(*args, **kwargs)
+
+
+def evaluate(*args, **kwargs):
+    """COCO bbox evaluation — see :func:`detjax.evaluation.run_coco_eval`."""
+    from detjax.evaluation.evaluator import run_coco_eval
+
+    return run_coco_eval(*args, **kwargs)
+
+
 __all__ = [
     "ModelConfig",
     "TrainConfig",
@@ -42,4 +57,6 @@ __all__ = [
     "train_step",
     "detect",
     "make_train_state",
+    "fit",
+    "evaluate",
 ]
