@@ -60,27 +60,6 @@ def _match_single(
                        positive, negative, max_iou)
 
 
-def _result_from_best(
-    max_iou: Array,  # [B, A]
-    matched_gt: Array,  # [B, A] int32
-    gt_boxes: Array,  # [B, G, 4]
-    gt_labels: Array,  # [B, G]
-    fg_iou_threshold: float,
-    bg_iou_threshold: float,
-) -> MatchResult:
-    """Thresholding + target gathers shared by the lax and Pallas paths."""
-    valid = gt_labels >= 0
-    any_valid = jnp.any(valid, axis=-1, keepdims=True)  # [B, 1]
-    positive = (max_iou >= fg_iou_threshold) & any_valid
-    negative = max_iou < bg_iou_threshold
-    labels = jnp.take_along_axis(gt_labels, matched_gt, axis=-1)
-    matched_labels = jnp.where(positive, labels, -1).astype(jnp.int32)
-    boxes = jnp.take_along_axis(gt_boxes, matched_gt[..., None], axis=-2)
-    matched_boxes = jnp.where(positive[..., None], boxes, 0.0)
-    return MatchResult(matched_gt, matched_labels, matched_boxes,
-                       positive, negative, max_iou)
-
-
 def match_anchors(
     anchors: Array,
     gt_boxes: Array,
