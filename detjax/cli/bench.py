@@ -8,14 +8,16 @@ import time
 
 
 def main():
-    # import the repo-root bench when present (dev checkout), else inline
+    # import the repo-root bench when present (dev checkout), else inline.
+    # Only the import is guarded: an ImportError raised INSIDE the root
+    # bench must propagate, not silently fall through to the inline path.
     try:
         import bench as _root_bench  # type: ignore
-
+    except ImportError:
+        _root_bench = None
+    if _root_bench is not None:
         _root_bench.main()
         return
-    except ImportError:
-        pass
 
     import jax
     import jax.numpy as jnp

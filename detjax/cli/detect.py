@@ -58,7 +58,8 @@ def main():
                                      cfg.model.image_size)
         x, _ = device_augment(jnp.asarray(canvas)[None],
                               jnp.zeros((1, 1, 4), jnp.float32),
-                              jax.random.PRNGKey(0), hflip_prob=0.0)
+                              jax.random.PRNGKey(0), hflip_prob=0.0,
+                              mean=cfg.data.mean, std=cfg.data.std)
         det = detect(variables, x, cfg)
         nv = int(det.num_valid[0])
         boxes = np.asarray(det.boxes[0, :nv]) / scale

@@ -32,24 +32,25 @@ from detjax.data.transforms import (
 Array = jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("hflip_prob",))
+@partial(jax.jit, static_argnames=("hflip_prob", "mean", "std"))
 def device_augment(
     images_u8: Array,  # [B, H, W, 3] uint8
     gt_boxes: Array,  # [B, G, 4]
     rng: Array,  # PRNGKey
     hflip_prob: float = 0.5,
+    mean: Tuple[float, float, float] = tuple(IMAGENET_MEAN.tolist()),
+    std: Tuple[float, float, float] = tuple(IMAGENET_STD.tolist()),
 ) -> Tuple[Array, Array]:
     """Normalize + random per-image horizontal flip, fused on device.
 
     Fusing here (instead of DataLoader workers as the reference does,
     SURVEY.md §3.4) keeps the input stream on-chip: uint8 H2D → one
-    elementwise fusion on the VPU.
+    elementwise fusion on the VPU. ``mean``/``std`` come from
+    ``cfg.data.mean/std`` (trace-time constants).
     """
     b, h, w, _ = images_u8.shape
     x = images_u8.astype(jnp.float32) / 255.0
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
-    x = (x - mean) / std
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
     if hflip_prob > 0:
         flip = jax.random.bernoulli(rng, hflip_prob, (b,))
         x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
@@ -116,18 +117,19 @@ class DetectionIterator:
     def _examples(self, order, epoch: int):
         """Decoded examples in ``order``; multi-threaded when workers > 1.
 
-        Per-example RNG is keyed (seed, epoch, index) so results are
-        identical regardless of worker count or completion order."""
-        if self.workers == 1:
-            rng = np.random.default_rng((self.seed, epoch))
-            for i in order:
-                yield self._record_to_example(self.ds[int(i)], rng)
-            return
-        from concurrent.futures import ThreadPoolExecutor
+        Per-example RNG is keyed (seed, epoch, index) in BOTH paths so
+        results are identical regardless of worker count or completion
+        order."""
 
         def load(i):
             rng = np.random.default_rng((self.seed, epoch, int(i)))
             return self._record_to_example(self.ds[int(i)], rng)
+
+        if self.workers == 1:
+            for i in order:
+                yield load(i)
+            return
+        from concurrent.futures import ThreadPoolExecutor
 
         window = self.workers * 2
         with ThreadPoolExecutor(self.workers) as pool:
@@ -189,14 +191,21 @@ class DetectionIterator:
         def worker():
             try:
                 for batch in self._gen():
-                    sem.acquire()
-                    with lock:
-                        q.append(batch)
+                    # bounded wait so an abandoned consumer (done set while
+                    # we are parked here) releases the thread instead of
+                    # leaking it blocked on the semaphore forever
+                    while not sem.acquire(timeout=0.1):
+                        if done.is_set():
+                            return
                     if done.is_set():
                         return
-            finally:
+                    with lock:
+                        q.append(batch)
                 with lock:
-                    q.append(None)
+                    q.append(None)  # clean end of stream
+            except BaseException as exc:  # propagate, don't fake EOF
+                with lock:
+                    q.append(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -206,7 +215,9 @@ class DetectionIterator:
                     item = q.popleft() if q else ()
                 if item is None:
                     return
-                if item == ():
+                if isinstance(item, BaseException):
+                    raise item
+                if isinstance(item, tuple) and item == ():
                     t.join(timeout=0.005)
                     continue
                 sem.release()

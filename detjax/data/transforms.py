@@ -103,10 +103,13 @@ def random_crop(
     return crop, clipped[keep], labels[keep]
 
 
-def normalize_image(image: np.ndarray) -> np.ndarray:
-    """uint8 [0,255] → float32 ImageNet-normalized (host-side variant)."""
+def normalize_image(image: np.ndarray, mean=None, std=None) -> np.ndarray:
+    """uint8 [0,255] → float32 normalized (host-side variant); mean/std
+    default to ImageNet (pass ``cfg.data.mean/std`` to override)."""
     x = image.astype(np.float32) / 255.0
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+    mean = IMAGENET_MEAN if mean is None else np.asarray(mean, np.float32)
+    std = IMAGENET_STD if std is None else np.asarray(std, np.float32)
+    return (x - mean) / std
 
 
 def pad_annotations(

@@ -23,6 +23,24 @@ from detjax.evaluation.coco_map import COCOMetric, EvalResult, GroundTruth
 from detjax.modeling import _detect_fn
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _images_disabled(dataset):
+    """Temporarily skip image decode for annotation-only record access
+    (CSVDataset and CocoDataset expose ``load_images``)."""
+    if hasattr(dataset, "load_images"):
+        old = dataset.load_images
+        dataset.load_images = False
+        try:
+            yield
+        finally:
+            dataset.load_images = old
+    else:
+        yield
+
+
 def _gt_provider(dataset) -> Callable[[int], GroundTruth]:
     """image_id → GroundTruth in ORIGINAL image coordinates."""
     if hasattr(dataset, "load_annotations"):
@@ -33,12 +51,13 @@ def _gt_provider(dataset) -> Callable[[int], GroundTruth]:
         return coco_gt
 
     index = {}
-    for i in range(len(dataset)):
-        rec = dataset[i]
-        index[rec["image_id"]] = i
+    with _images_disabled(dataset):
+        for i in range(len(dataset)):
+            index[dataset[i]["image_id"]] = i
 
     def generic_gt(image_id: int) -> GroundTruth:
-        rec = dataset[index[image_id]]
+        with _images_disabled(dataset):
+            rec = dataset[index[image_id]]
         return GroundTruth(boxes=rec["boxes"], labels=rec["labels"],
                            iscrowd=rec.get("iscrowd"), areas=rec.get("areas"))
     return generic_gt
@@ -57,7 +76,7 @@ def iter_detections(variables, dataset, cfg: Config,
             b = imgs.shape[0]
             imgs, _ = device_augment(
                 imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
-                hflip_prob=0.0)
+                hflip_prob=0.0, mean=cfg.data.mean, std=cfg.data.std)
         det = detect(variables, imgs)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)

@@ -110,10 +110,9 @@ def class_aware_nms(
         lambda b, s: nms_single_class(b, s, iou_threshold, per_class_max)
     )(top_boxes, top_scores)  # indices [K, per_class_max] into pre_k
 
-    # Map per-class NMS survivors back to anchor indices, pool, global top-k.
+    # Pool per-class NMS survivors, then global top-k by score.
     valid = res.indices >= 0  # [K, per_class_max]
     safe = jnp.maximum(res.indices, 0)
-    anchor_idx = jnp.take_along_axis(top_idx, safe, axis=1)  # [K, per_class_max]
     pooled_scores = jnp.where(valid, res.scores, NEG_INF).reshape(-1)
     pooled_boxes = top_boxes[
         jnp.arange(k, dtype=jnp.int32)[:, None], safe
@@ -121,7 +120,6 @@ def class_aware_nms(
     pooled_labels = jnp.broadcast_to(
         jnp.arange(k, dtype=jnp.int32)[:, None], (k, res.indices.shape[1])
     ).reshape(-1)
-    del anchor_idx  # kept for clarity; boxes already gathered
 
     d = min(max_detections, pooled_scores.shape[0])
     final_scores, sel = jax.lax.top_k(pooled_scores, d)

@@ -117,7 +117,8 @@ def fit(
         batch = next(it)
         state, metrics = step_fn(state, batch)
         timer.tick(t.batch_size)
-        loss_accum.append(metrics["loss"])  # device array; sync deferred
+        if plateau is not None:  # else the window is never read
+            loss_accum.append(metrics["loss"])  # device array; sync deferred
 
         if (i + 1) % log_every == 0 or i + 1 == num_steps:
             vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
@@ -145,7 +146,13 @@ def fit(
             history.append({"step": i + 1, "eval": res})
 
     if ckpt is not None:
-        ckpt.save(state, wait=True)
+        # the in-loop save may already hold this step (num_steps a multiple
+        # of checkpoint_every_steps, or resume at num_steps) — orbax raises
+        # StepAlreadyExistsError on a duplicate save
+        if ckpt.latest_step() != int(np.asarray(state.step)):
+            ckpt.save(state, wait=True)
+        else:
+            ckpt.wait()
     logger.close()
     return FitResult(state=state, history=history,
                      images_per_sec=timer.images_per_sec)

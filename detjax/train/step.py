@@ -130,7 +130,8 @@ def make_train_step(cfg: Config):
             # → normalize + random hflip on the VPU, inside this jit region
             images, gt_boxes = device_augment.__wrapped__(
                 images, gt_boxes, aug_rng,
-                hflip_prob=cfg.data.hflip_prob)
+                hflip_prob=cfg.data.hflip_prob,
+                mean=cfg.data.mean, std=cfg.data.std)
         batch = dict(batch, images=images, gt_boxes=gt_boxes)
         variables = {"params": params, "batch_stats": batch_stats}
         if update_bn:

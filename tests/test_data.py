@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from detjax.config import get_config
 from detjax.data.coco import CocoDataset
@@ -191,10 +192,13 @@ def test_threaded_iterator_deterministic_and_ordered():
         np.testing.assert_array_equal(x["images"], y["images"])
         np.testing.assert_array_equal(x["gt_boxes"], y["gt_boxes"])
         np.testing.assert_array_equal(x["image_id"], y["image_id"])
-    # same shuffle order as the single-worker path (decode order preserved)
+    # worker count must not change results AT ALL ((seed, epoch, index)-
+    # keyed RNG in both paths): bit-identical batches for workers=1
     c = batches(1)
     for x, y in zip(a, c):
         np.testing.assert_array_equal(x["image_id"], y["image_id"])
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["gt_boxes"], y["gt_boxes"])
 
 
 def test_sharded_iterator_partitions_dataset():
@@ -211,3 +215,49 @@ def test_sharded_iterator_partitions_dataset():
             seen.extend(int(i) for i in b["image_id"])
     # disjoint cover of the dataset across shards
     assert sorted(seen) == list(range(16))
+
+
+def test_prefetch_propagates_worker_exceptions():
+    """A decode error must surface to the consumer, not truncate the
+    stream silently (silent truncation => wrong mAP)."""
+    from detjax.data.pipeline import DetectionIterator
+
+    class Broken:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise IOError("corrupt image")
+            return SyntheticDetectionDataset(
+                num_images=6, image_size=(32, 32), num_classes=2)[i]
+
+    it = DetectionIterator(Broken(), batch_size=2, image_size=(32, 32),
+                           max_gt=2, shuffle=False, repeat=False,
+                           prefetch=2)
+    with pytest.raises(IOError, match="corrupt image"):
+        list(it)
+
+
+def test_prefetch_abandonment_does_not_deadlock():
+    """Dropping the iterator early (max_images-style) must release the
+    prefetch worker thread."""
+    import threading
+
+    from detjax.data.pipeline import DetectionIterator
+
+    ds = SyntheticDetectionDataset(num_images=32, image_size=(32, 32),
+                                   num_classes=2)
+    before = threading.active_count()
+    for _ in range(5):
+        g = iter(DetectionIterator(ds, batch_size=2, image_size=(32, 32),
+                                   max_gt=2, shuffle=False, repeat=True,
+                                   prefetch=2))
+        next(g)
+        g.close()  # abandon mid-stream
+    import time as _t
+
+    deadline = _t.time() + 5.0
+    while threading.active_count() > before and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert threading.active_count() <= before + 1
