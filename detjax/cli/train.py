@@ -64,6 +64,11 @@ def main():
 
     import jax
 
+    # honor JAX_PLATFORMS even where a sitecustomize force-prefers a
+    # backend (e.g. JAX_PLATFORMS=cpu + xla_force_host_platform_device_count
+    # to exercise --dp on a virtual mesh)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if args.debug:
         jax.config.update("jax_debug_nans", True)
 
