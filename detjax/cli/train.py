@@ -51,6 +51,9 @@ def main():
                     help="pjit data-parallel over all visible devices")
     ap.add_argument("--import-backbone",
                     help="torch state_dict .pt with pretrained ResNet")
+    ap.add_argument("--import-detector",
+                    help="torch state_dict .pt with a full lineage detector "
+                         "(backbone+FPN+heads)")
     ap.add_argument("--eval-images", type=int, default=None,
                     help="cap on periodic-eval images")
     ap.add_argument("--debug", action="store_true",
@@ -58,9 +61,16 @@ def main():
     ap.add_argument("--trace-dir", default="",
                     help="capture a jax.profiler device trace of the first "
                          "logged window into this dir (Perfetto/TensorBoard)")
+    ap.add_argument("--unsafe-pickle", action="store_true",
+                    help="allow --import-backbone to unpickle whole-module "
+                         "checkpoints (executes code from the file)")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
     args = ap.parse_args()
+    if not args.synthetic and not (args.coco_path or args.train_ann):
+        ap.error("one of --coco-path, --train-ann or --synthetic is required")
+    if args.train_ann and not (args.train_images or args.coco_path):
+        ap.error("--train-ann needs --train-images (or --coco-path)")
 
     import jax
 
@@ -104,17 +114,22 @@ def main():
                     args.coco_path, cfg.data.eval_split))
 
     state = make_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
-    if args.import_backbone:
-        from detjax.utils.torch_import import (import_into_variables,
-                                               load_state_dict_file)
+    if args.import_backbone or args.import_detector:
+        from detjax.utils.torch_import import (
+            import_detector_into_variables, import_into_variables,
+            load_state_dict_file)
 
-        sd = load_state_dict_file(args.import_backbone)
-        variables = import_into_variables(
+        path = args.import_detector or args.import_backbone
+        sd = load_state_dict_file(path, allow_pickle=args.unsafe_pickle)
+        importer = (import_detector_into_variables if args.import_detector
+                    else import_into_variables)
+        variables = importer(
             {"params": state.params, "batch_stats": state.batch_stats},
             sd, depth=cfg.model.backbone_depth)
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
-        print(f"imported pretrained backbone from {args.import_backbone}")
+        what = "detector" if args.import_detector else "backbone"
+        print(f"imported pretrained {what} from {path}")
 
     mesh = None
     if args.dp:

@@ -66,12 +66,21 @@ class CocoDataset:
     def __len__(self) -> int:
         return len(self.images)
 
-    def load_annotations(self, image_id: int) -> Dict[str, np.ndarray]:
-        """xywh→xyxy; drops degenerate boxes (w/h < 1px) like the lineage."""
+    def load_annotations(self, image_id: int,
+                         filter_degenerate: bool = False
+                         ) -> Dict[str, np.ndarray]:
+        """xywh→xyxy.
+
+        ``filter_degenerate=True`` drops boxes with w/h < 1px like the
+        lineage's training path. The default keeps everything: this method
+        also supplies EVAL ground truth (evaluator._gt_provider), and
+        pycocotools' COCOeval keeps all annotations — filtering there would
+        shift npig and break the ±0.2 mAP parity protocol.
+        """
         boxes, labels, iscrowd, areas = [], [], [], []
         for ann in self._anns.get(image_id, []):
             x, y, w, h = ann["bbox"]
-            if w < 1 or h < 1:
+            if filter_degenerate and (w < 1 or h < 1):
                 continue
             boxes.append([x, y, x + w, y + h])
             labels.append(self.cat_id_to_label[ann["category_id"]])
@@ -95,7 +104,7 @@ class CocoDataset:
 
     def __getitem__(self, idx: int) -> dict:
         info = self.images[idx]
-        rec = self.load_annotations(info["id"])
+        rec = self.load_annotations(info["id"], filter_degenerate=True)
         rec["image_id"] = info["id"]
         rec["file_name"] = info["file_name"]
         rec["size"] = (info.get("height"), info.get("width"))

@@ -145,10 +145,33 @@ class DetectionIterator:
             while pending:
                 yield pending.popleft().result()
 
-    def _gen(self) -> Iterator[Dict[str, np.ndarray]]:
-        epoch = 0
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_order(0))
+        return n // self.bs if self.drop_remainder else -(-n // self.bs)
+
+    def iter_from(self, batch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Resume the stream at global batch ``batch_idx`` — O(1) seek.
+
+        The stream is deterministic in (seed, epoch, index-within-epoch)
+        (both the shuffle and the per-example augmentation RNG are keyed
+        that way), so seeking is arithmetic: no skipped example is decoded.
+        This is what makes checkpoint resume bit-exact end-to-end
+        (SURVEY.md §5.4): step counter == global batch index.
+        """
+        if batch_idx and not self.drop_remainder:
+            raise ValueError("iter_from requires drop_remainder batches "
+                             "(train path); eval streams don't resume")
+        return self._iterate(start_batch=batch_idx)
+
+    def _gen(self, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        bpe = self.batches_per_epoch() if start_batch else 0
+        epoch = start_batch // bpe if start_batch else 0
+        skip = start_batch - epoch * bpe if start_batch else 0
         while True:
             order = self._epoch_order(epoch)
+            if skip:
+                order = order[skip * self.bs:]
+                skip = 0
             buf = []
             for ex in self._examples(order, epoch):
                 buf.append(ex)
@@ -177,8 +200,11 @@ class DetectionIterator:
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self._iterate(start_batch=0)
+
+    def _iterate(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
-            yield from self._gen()
+            yield from self._gen(start_batch)
             return
         # background thread keeps `prefetch` batches ready (single-core box:
         # this overlaps host decode with device compute across the GIL
@@ -190,7 +216,7 @@ class DetectionIterator:
 
         def worker():
             try:
-                for batch in self._gen():
+                for batch in self._gen(start_batch):
                     # bounded wait so an abandoned consumer (done set while
                     # we are parked here) releases the thread instead of
                     # leaking it blocked on the semaphore forever

@@ -37,42 +37,46 @@ class NMSResult(NamedTuple):
     num_valid: Array  # [] int32
 
 
+def _greedy_suppress(boxes: Array, scores: Array, iou_threshold: float,
+                     max_output: int) -> Tuple[Array, Array]:
+    """THE greedy-NMS oracle: argmax-suppress scan, shared by every lax path.
+
+    ``max_output`` sequential steps, each a vectorized IoU row against all N
+    boxes. Equivalent keep-set and order to sort-then-scan greedy NMS
+    (torchvision semantics: suppress at iou > threshold, ties broken by
+    lower input index). Returns ``(keep_idx [max_output] int32 with -1
+    padding, keep_scores [max_output] f32 with 0 padding)``.
+    """
+    n = boxes.shape[0]
+    boxes = boxes.astype(jnp.float32)
+
+    def step(live, _):
+        best = jnp.argmax(live)
+        best_score = live[best]
+        valid = best_score > NEG_INF / 2
+        iou = box_iou(boxes[best][None, :], boxes)[0]  # [N]
+        suppress = (iou > iou_threshold) | (
+            jnp.arange(n, dtype=jnp.int32) == best.astype(jnp.int32))
+        live = jnp.where(valid & suppress, NEG_INF, live)
+        return live, (jnp.where(valid, best.astype(jnp.int32), -1),
+                      jnp.where(valid, best_score, 0.0))
+
+    _, (keep_idx, keep_scores) = jax.lax.scan(
+        step, scores.astype(jnp.float32), None, length=max_output)
+    return keep_idx, keep_scores
+
+
 def nms_single_class(
     boxes: Array,  # [N, 4] xyxy
     scores: Array,  # [N]; entries <= NEG_INF/2 are pre-suppressed
     iou_threshold: float = 0.5,
     max_output: int = 100,
 ) -> NMSResult:
-    """Greedy NMS with static output size.
-
-    Iterative argmax-suppress: ``max_output`` sequential steps, each a
-    vectorized IoU row against all N boxes. Equivalent keep-set and order to
-    sort-then-scan greedy NMS (torchvision semantics).
-    """
-    n = boxes.shape[0]
-    boxes = boxes.astype(jnp.float32)
-    live = scores.astype(jnp.float32)
-
-    def body(i, state):
-        live, out_idx, out_scores = state
-        best = jnp.argmax(live)
-        best_score = live[best]
-        valid = best_score > NEG_INF / 2
-        out_idx = out_idx.at[i].set(jnp.where(valid, best.astype(jnp.int32), -1))
-        out_scores = out_scores.at[i].set(jnp.where(valid, best_score, 0.0))
-        iou = box_iou(boxes[best][None, :], boxes)[0]  # [N]
-        suppress = (iou > iou_threshold) | (
-            jnp.arange(n, dtype=jnp.int32) == best.astype(jnp.int32)
-        )
-        live = jnp.where(valid & suppress, NEG_INF, live)
-        return live, out_idx, out_scores
-
-    out_idx = jnp.full((max_output,), -1, dtype=jnp.int32)
-    out_scores = jnp.zeros((max_output,), dtype=jnp.float32)
-    live, out_idx, out_scores = jax.lax.fori_loop(
-        0, max_output, body, (live, out_idx, out_scores)
-    )
-    return NMSResult(out_idx, out_scores, jnp.sum(out_idx >= 0).astype(jnp.int32))
+    """Greedy NMS with static output size (wraps :func:`_greedy_suppress`)."""
+    keep_idx, keep_scores = _greedy_suppress(
+        boxes, scores, iou_threshold, max_output)
+    return NMSResult(keep_idx, keep_scores,
+                     jnp.sum(keep_idx >= 0).astype(jnp.int32))
 
 
 class Detections(NamedTuple):

@@ -2,10 +2,13 @@
 
 The reference saves a whole-module pickle per epoch (``torch.save(model,
 ...)``) and loses optimizer state on resume. Here the ENTIRE training state
-— params, batch_stats, opt_state, step — is one PyTree saved via Orbax
-(async, atomic, retention-managed), so resume-after-preemption continues
-bit-exactly: same optimizer moments, same step counter, same LR controller
-input stream.
+— params, batch_stats, opt_state, step, plus a ``host`` subtree for
+host-side controller state (ReduceLROnPlateau best/num_bad, loss window) —
+is one PyTree saved via Orbax (async, atomic, retention-managed). Resume is
+bit-exact end-to-end: same optimizer moments, same step counter, same LR
+controller state, and the data stream continues at the same global batch
+(``DetectionIterator.iter_from`` seeks by step; see
+``tests/test_train_loop.py`` resume-equivalence test).
 """
 
 from __future__ import annotations
@@ -36,12 +39,17 @@ class Checkpointer:
         self.directory = directory
         self._mgr = _manager(directory, max_to_keep)
 
-    def save(self, state: TrainState, wait: bool = False):
+    def save(self, state: TrainState, wait: bool = False,
+             host: Optional[dict] = None):
+        """``host``: flat dict of host-side scalars (floats/ints) saved
+        alongside the device state (e.g. LR-plateau controller state)."""
         import orbax.checkpoint as ocp
 
         step = int(np.asarray(state.step))
         tree = {"step": state.step, "params": state.params,
                 "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+        if host:
+            tree["host"] = {k: np.asarray(v) for k, v in host.items()}
         self._mgr.save(step, args=ocp.args.StandardSave(tree))
         if wait:
             self._mgr.wait_until_finished()
@@ -49,8 +57,14 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
-        """Restore into the structure of ``state`` (template for dtypes/shapes)."""
+    def restore(self, state: TrainState, step: Optional[int] = None,
+                host_template: Optional[dict] = None):
+        """Restore into the structure of ``state`` (template for dtypes/shapes).
+
+        With ``host_template`` (a dict shaped like the ``host`` arg of
+        ``save``), returns ``(state, host)``; ``host`` falls back to the
+        template values when the checkpoint predates host-state saving.
+        """
         import orbax.checkpoint as ocp
 
         step = self.latest_step() if step is None else step
@@ -59,13 +73,31 @@ class Checkpointer:
         template = {"step": state.step, "params": state.params,
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state}
+        want_host = host_template is not None
+        if want_host:
+            template["host"] = {k: np.asarray(v)
+                                for k, v in host_template.items()}
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype") else x, template)
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
-        return state.replace(
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except Exception:
+            if not want_host:
+                raise
+            # checkpoint without a host subtree (older format): retry bare
+            abstract.pop("host")
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        new_state = state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"], opt_state=restored["opt_state"])
+        if not want_host:
+            return new_state
+        host = {k: v.item() if hasattr(v, "item") else v
+                for k, v in restored.get("host", dict(host_template)).items()}
+        return new_state, host
 
     def wait(self):
         self._mgr.wait_until_finished()

@@ -91,9 +91,19 @@ def fit(
 
     if state is None:
         state = make_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    plateau = ReduceLROnPlateau() if cfg.train.lr_schedule == "plateau" else None
+    # partial plateau window (sum/count of per-step losses since the last
+    # plateau decision) — checkpointed so resume is bit-exact (SURVEY.md §5.4)
+    window_sum, window_n = 0.0, 0
     ckpt = Checkpointer(checkpoint_dir) if checkpoint_dir else None
     if ckpt is not None and resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+        host_template = {"plateau_best": np.inf, "plateau_num_bad": 0,
+                         "window_sum": 0.0, "window_n": 0}
+        state, host = ckpt.restore(state, host_template=host_template)
+        if plateau is not None:
+            plateau.best = float(host["plateau_best"])
+            plateau.num_bad = int(host["plateau_num_bad"])
+        window_sum, window_n = float(host["window_sum"]), int(host["window_n"])
         print(f"[fit] resumed from step {int(np.asarray(state.step))}")
 
     if mesh is not None:
@@ -106,19 +116,38 @@ def fit(
 
     logger = MetricsLogger(log_dir, print_every=log_every)
     timer = StepTimer(skip=2)
-    plateau = ReduceLROnPlateau() if cfg.train.lr_schedule == "plateau" else None
     history = []
-    loss_accum: list = []
+    pending: list = []  # device loss scalars; sync deferred until folded
     start = int(np.asarray(state.step))
     t = cfg.train
 
-    it = iter(train_batches)
+    def fold_window():
+        """Fold pending device losses into the host (sum, n) accumulators."""
+        nonlocal window_sum, window_n, pending
+        if pending:
+            import jax.numpy as jnp
+
+            window_sum += float(np.asarray(jnp.stack(pending).sum()))
+            window_n += len(pending)
+            pending = []
+
+    def host_state():
+        return {"plateau_best": plateau.best if plateau else np.inf,
+                "plateau_num_bad": plateau.num_bad if plateau else 0,
+                "window_sum": window_sum, "window_n": window_n}
+
+    # resume the data stream at the same global batch (bit-exact resume):
+    # step counter == batch index for seekable iterators
+    if start > 0 and hasattr(train_batches, "iter_from"):
+        it = train_batches.iter_from(start)
+    else:
+        it = iter(train_batches)
     for i in range(start, num_steps):
         batch = next(it)
         state, metrics = step_fn(state, batch)
         timer.tick(t.batch_size)
         if plateau is not None:  # else the window is never read
-            loss_accum.append(metrics["loss"])  # device array; sync deferred
+            pending.append(metrics["loss"])
 
         if (i + 1) % log_every == 0 or i + 1 == num_steps:
             vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
@@ -128,8 +157,9 @@ def fit(
             history.append({"step": i + 1, **vals})
 
         if plateau is not None and (i + 1) % lr_plateau_every == 0:
-            window = float(np.mean([np.asarray(x) for x in loss_accum]))
-            loss_accum.clear()
+            fold_window()
+            window = window_sum / max(window_n, 1)
+            window_sum, window_n = 0.0, 0
             cur = get_learning_rate(state)
             new_lr = plateau.update(window, cur)
             if new_lr is not None:
@@ -138,7 +168,8 @@ def fit(
                            kind="lr")
 
         if ckpt is not None and (i + 1) % t.checkpoint_every_steps == 0:
-            ckpt.save(state)
+            fold_window()
+            ckpt.save(state, host=host_state())
 
         if eval_dataset is not None and (i + 1) % t.eval_every_steps == 0:
             res = _periodic_eval(state, eval_dataset, cfg, eval_max_images)
@@ -150,7 +181,8 @@ def fit(
         # of checkpoint_every_steps, or resume at num_steps) — orbax raises
         # StepAlreadyExistsError on a duplicate save
         if ckpt.latest_step() != int(np.asarray(state.step)):
-            ckpt.save(state, wait=True)
+            fold_window()
+            ckpt.save(state, wait=True, host=host_state())
         else:
             ckpt.wait()
     logger.close()

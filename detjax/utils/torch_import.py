@@ -11,10 +11,22 @@ name-mapped into the flax PyTree:
   torch ``bn*.running_mean/running_var``  → flax ``batch_stats mean/var``
   torch ``layer{s}.{b}.downsample.0/1``   → flax ``downsample_conv/bn``
 
-Also importable: whole-detector checkpoints from the reference lineage, as
-long as keys follow the torchvision ResNet naming for the backbone (other
-keys are reported, not imported — the FPN/head geometries here are
-TPU-native and trained fresh or via detjax checkpoints).
+Whole-detector lineage checkpoints import completely via
+``import_full_detector``: the lineage detector IS a ResNet subclass with
+``fpn``/``regressionModel``/``classificationModel`` submodules (SURVEY.md
+§1/§2 #2–#4, ``PyramidFeatures``/``RegressionModel``/``ClassificationModel``),
+so backbone keys sit at the top level and the neck/heads map 1:1 onto
+detjax's ``fpn``/``head`` trees:
+
+  fpn.P{5,4,3}_1          → fpn lateral_p{5,4,3}
+  fpn.P{5,4,3}_2          → fpn output_p{5,4,3}
+  fpn.P6 / fpn.P7_2       → fpn output_p6 / output_p7
+  classificationModel.conv{1..4}/output → head cls_conv{0..3}/cls_out
+  regressionModel.conv{1..4}/output     → head box_conv{0..3}/box_out
+
+Channel order needs no permutation: the lineage reshapes its head outputs
+(B,H,W,A·K)→(B,·,K) anchor-major, exactly detjax's ``_flatten_level``
+order (detjax/models/heads.py).
 """
 
 from __future__ import annotations
@@ -24,12 +36,30 @@ from typing import Any, Dict, Mapping, Optional, Tuple
 import numpy as np
 
 
-def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+def load_state_dict_file(path: str,
+                         allow_pickle: bool = False) -> Dict[str, np.ndarray]:
     """Load a ``torch.save``'d state_dict (or module with ``.state_dict()``)
-    into plain numpy arrays. Requires torch (CPU build is enough)."""
+    into plain numpy arrays. Requires torch (CPU build is enough).
+
+    Loads with ``weights_only=True`` (safe: tensors only). Lineage
+    checkpoints saved as whole pickled modules need ``allow_pickle=True``,
+    which executes arbitrary code from the file — only enable for trusted
+    checkpoints (surfaced as ``--unsafe-pickle`` in the CLIs).
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickled module / non-tensor payload
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a plain state_dict loadable with "
+                "weights_only=True (likely a whole pickled module, which "
+                "the reference lineage's per-epoch torch.save produces). "
+                "Unpickling it executes code from the file; pass "
+                "allow_pickle=True / --unsafe-pickle if you trust it."
+            ) from e
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     return {k: np.asarray(v.detach().cpu().numpy()) if hasattr(v, "detach")
@@ -53,8 +83,11 @@ def _torch_resnet_key_map(stage_sizes) -> Dict[str, Tuple[str, ...]]:
             t = f"layer{s + 1}.{b}"
             for unit in ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3"):
                 m[f"{t}.{unit}"] = (flax_block, unit)
-            m[f"{t}.downsample.0"] = (flax_block, "downsample_conv")
-            m[f"{t}.downsample.1"] = (flax_block, "downsample_bn")
+            if b == 0:  # projection shortcut exists only on the first
+                # block of each stage (stride and/or channel change) —
+                # torchvision and detjax.models.resnet agree on this
+                m[f"{t}.downsample.0"] = (flax_block, "downsample_conv")
+                m[f"{t}.downsample.1"] = (flax_block, "downsample_bn")
     return m
 
 
@@ -152,6 +185,81 @@ def import_resnet_backbone(
     return params, batch_stats, report
 
 
+def _fpn_head_key_map(num_head_convs: int = 4,
+                      min_level: int = 3) -> Dict[str, Tuple[str, ...]]:
+    """Lineage FPN/head torch prefixes → detjax module paths (conv layers:
+    ``.weight``/``.bias`` become ``kernel``/``bias``)."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for lvl in range(min_level, 6):  # laterals + outputs on C3..C5
+        m[f"fpn.P{lvl}_1"] = ("fpn", f"lateral_p{lvl}")
+        m[f"fpn.P{lvl}_2"] = ("fpn", f"output_p{lvl}")
+    m["fpn.P6"] = ("fpn", "output_p6")
+    m["fpn.P7_2"] = ("fpn", "output_p7")
+    for i in range(num_head_convs):
+        m[f"classificationModel.conv{i + 1}"] = ("head", f"cls_conv{i}")
+        m[f"regressionModel.conv{i + 1}"] = ("head", f"box_conv{i}")
+    m["classificationModel.output"] = ("head", "cls_out")
+    m["regressionModel.output"] = ("head", "box_out")
+    return m
+
+
+def import_full_detector(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    state_dict: Mapping[str, np.ndarray],
+    depth: int = 50,
+    prefix: str = "",
+    strict: bool = True,
+    stage_sizes: Optional[Tuple[int, ...]] = None,
+    num_head_convs: int = 4,
+    min_level: int = 3,
+) -> Tuple[dict, dict, Dict[str, list]]:
+    """Import a complete lineage detector checkpoint: backbone + FPN + heads.
+
+    ``prefix`` is stripped first; a ``module.`` DataParallel prefix is also
+    handled automatically. Backbone keys are expected at the TOP level of
+    the state_dict (the lineage detector subclasses ResNet directly).
+
+    Returns ``(new_params, new_batch_stats, report)``; report keys:
+    ``imported``, ``missing``, ``unused``.
+    """
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    if not any(k.startswith("conv1") for k in sd) and any(
+            k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()
+              if k.startswith("module.")}
+
+    params, batch_stats, report = import_resnet_backbone(
+        params, batch_stats, sd, depth=depth, strict=strict,
+        stage_sizes=stage_sizes)
+
+    key_map = _fpn_head_key_map(num_head_convs=num_head_convs,
+                                min_level=min_level)
+    imported, missing, used = (report["imported"], report["missing"],
+                               set(report["imported"]))
+    for tkey, fpath in key_map.items():
+        for suffix, leaf in (("weight", "kernel"), ("bias", "bias")):
+            k = f"{tkey}.{suffix}"
+            if k not in sd:
+                missing.append(k)
+                continue
+            v = _conv(sd[k]) if leaf == "kernel" else sd[k]
+            _set(params, fpath, leaf, v, v.shape)
+            used.add(k)
+            imported.append(k)
+    if strict and missing:
+        raise KeyError(
+            f"{len(missing)} expected detector weights missing, e.g. "
+            f"{missing[:5]} (pass strict=False to ignore)")
+    report["unused"] = [
+        k for k in sd if k not in used
+        and not k.endswith("num_batches_tracked")
+        # anchor/decode helpers the lineage registers as buffers
+        and not k.startswith(("anchors.", "regressBoxes.", "clipBoxes."))]
+    return params, batch_stats, report
+
+
 def import_into_variables(variables: Mapping[str, Any],
                           state_dict: Mapping[str, np.ndarray],
                           depth: int = 50, **kw) -> dict:
@@ -160,6 +268,22 @@ def import_into_variables(variables: Mapping[str, Any],
     import jax
 
     p, s, _ = import_resnet_backbone(
+        variables["params"], variables.get("batch_stats", {}),
+        state_dict, depth=depth, **kw)
+    out = dict(variables)
+    out["params"] = jax.tree.map(jnp.asarray, p)
+    out["batch_stats"] = jax.tree.map(jnp.asarray, s)
+    return out
+
+
+def import_detector_into_variables(variables: Mapping[str, Any],
+                                   state_dict: Mapping[str, np.ndarray],
+                                   depth: int = 50, **kw) -> dict:
+    """Convenience: full-detector import, variables dict in/out (jnp)."""
+    import jax
+    import jax.numpy as jnp
+
+    p, s, _ = import_full_detector(
         variables["params"], variables.get("batch_stats", {}),
         state_dict, depth=depth, **kw)
     out = dict(variables)

@@ -18,8 +18,26 @@ import numpy as np
 
 CANDIDATES = [
     ("baseline", None),
-    # add candidate dicts here, e.g.:
-    # ("scoped_vmem", {"xla_tpu_scoped_vmem_limit_kib": "16384"}),
+    # scoped-vmem: more VMEM per fusion lets Mosaic/XLA build deeper
+    # conv+elementwise fusions (v5e has 128 MiB VMEM; default scope ~16 MiB)
+    ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
+    # fusion cost-model variants
+    ("bundle_cost_model", {
+        "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"}),
+    ("aggr_loop_fusion_layout", {
+        "xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"}),
+    ("no_rwb_fusion", {"xla_tpu_rwb_fusion": "false"}),
+    ("licm_inflate_8", {"xla_tpu_licm_size_inflation_ratio": "8"}),
+    ("no_dot_strength_red", {
+        "xla_tpu_enable_dot_strength_reduction": "false"}),
+    # scheduler
+    ("no_latency_hiding_sched", {
+        "xla_tpu_enable_latency_hiding_scheduler": "false"}),
+    ("flash_vmem+sched", {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"}),
 ]
 
 

@@ -85,6 +85,72 @@ def test_fit_resume_from_checkpoint(tmp_path):
     assert not np.allclose(np.asarray(p1), np.asarray(p2))
 
 
+def test_iterator_seek_matches_stream():
+    """iter_from(k) must reproduce batch k.. of the straight stream exactly
+    (across an epoch boundary), including augmentation RNG."""
+    cfg = _cfg()
+    ds = SyntheticDetectionDataset(num_images=8, image_size=(64, 64),
+                                   num_classes=4, max_objects=2)
+    it = make_train_iterator(ds, cfg)
+    straight = []
+    s = iter(it)
+    for _ in range(10):
+        straight.append(next(s))
+    k = 5  # 8 imgs / bs 2 = 4 batches/epoch → crosses into epoch 1
+    seeked = it.iter_from(k)
+    for j in range(k, 10):
+        b = next(seeked)
+        for key in ("images", "gt_boxes", "gt_labels", "image_id"):
+            np.testing.assert_array_equal(b[key], straight[j][key])
+
+
+def test_fit_resume_is_bitexact(tmp_path):
+    """10 straight steps == 5 steps + checkpoint-resume + 5 steps, bit for
+    bit (params AND optimizer state) — the data stream seeks to the same
+    global batch and the plateau/window state round-trips (VERDICT #5)."""
+    cfg = _cfg()
+
+    def ds():
+        return SyntheticDetectionDataset(num_images=8, image_size=(64, 64),
+                                         num_classes=4, max_objects=2)
+
+    straight = fit(cfg, make_train_iterator(ds(), cfg), num_steps=10)
+
+    ckpt_dir = str(tmp_path / "ck")
+    fit(cfg, make_train_iterator(ds(), cfg), num_steps=5,
+        checkpoint_dir=ckpt_dir)
+    resumed = fit(cfg, make_train_iterator(ds(), cfg), num_steps=10,
+                  checkpoint_dir=ckpt_dir)
+
+    for a, b in zip(jax.tree.leaves(straight.state.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(straight.state.opt_state),
+                    jax.tree.leaves(resumed.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_host_state_roundtrip(tmp_path):
+    from detjax.train.checkpoint import Checkpointer
+
+    cfg = _cfg()
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    ck = Checkpointer(str(tmp_path / "ck"))
+    host = {"plateau_best": 0.25, "plateau_num_bad": 2,
+            "window_sum": 1.5, "window_n": 3}
+    ck.save(state, wait=True, host=host)
+    fresh = make_train_state(cfg, jax.random.PRNGKey(9))
+    template = {"plateau_best": np.inf, "plateau_num_bad": 0,
+                "window_sum": 0.0, "window_n": 0}
+    restored, got = ck.restore(fresh, host_template=template)
+    assert got == pytest.approx(host)
+    # older checkpoints without a host subtree fall back to the template
+    ck2 = Checkpointer(str(tmp_path / "ck2"))
+    ck2.save(state, wait=True)
+    _, got2 = ck2.restore(fresh, host_template=template)
+    assert got2["plateau_num_bad"] == 0 and got2["window_n"] == 0
+
+
 def test_fit_with_mesh_data_parallel(tmp_path):
     """Config-5 shape: fit() over the 8-fake-device mesh — params
     replicated, batch sharded, loop/checkpoint machinery unchanged."""
