@@ -36,6 +36,9 @@ class ModelConfig:
     anchor_scales: Tuple[float, ...] = (2 ** 0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0))
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     anchor_base_scale: float = 4.0  # base size = base_scale * stride = 2^(lvl+2)
+    # SSD-style per-level absolute anchor sizes (px), one tuple per level;
+    # overrides the stride-proportional rule when set (SURVEY.md §2 #5)
+    anchor_per_level_sizes: Tuple[Tuple[float, ...], ...] = ()
     # Prior-probability init for the classification head bias (SURVEY.md §3.5)
     prior_prob: float = 0.01
     # Box encode/decode stds (SURVEY.md §2 #9/#10)
@@ -47,7 +50,10 @@ class ModelConfig:
 
     @property
     def num_anchors_per_cell(self) -> int:
-        return len(self.anchor_scales) * len(self.anchor_ratios)
+        n_scales = (len(self.anchor_per_level_sizes[0])
+                    if self.anchor_per_level_sizes
+                    else len(self.anchor_scales))
+        return n_scales * len(self.anchor_ratios)
 
     @property
     def levels(self) -> Tuple[int, ...]:
@@ -133,12 +139,27 @@ def _retinanet_r50_640() -> Config:
     )
 
 
+def _ssd_anchor_sizes(image: int = 512, n_levels: int = 5,
+                      s_min: float = 0.1, s_max: float = 0.9
+                      ) -> Tuple[Tuple[float, float], ...]:
+    """SSD anchor-scale rule: per-level fraction s_k of the input size,
+    linearly interpolated s_min→s_max, plus the geometric-mean extra scale
+    √(s_k·s_{k+1}) — anchor sizes chosen per LEVEL, not proportional to the
+    stride like RetinaNet's (SURVEY.md §2 #5 SSD-style head)."""
+    s = [s_min + (s_max - s_min) * k / (n_levels - 1) for k in range(n_levels)]
+    s.append(2 * s[-1] - s[-2])  # extrapolate s_{K+1} for the last level
+    return tuple((image * s[k], image * (s[k] * s[k + 1]) ** 0.5)
+                 for k in range(n_levels))
+
+
 def _ssd_512() -> Config:
     """Benchmark config 2: SSD-style single-shot head @ 512, bs=8 infer."""
     return Config(
         model=ModelConfig(
             name="ssd_512", family="ssd", backbone_depth=50,
             image_size=(512, 512), min_level=3, max_level=7,
+            anchor_per_level_sizes=_ssd_anchor_sizes(512, 5),
+            anchor_ratios=(1.0, 2.0, 0.5),
         ),
         eval=EvalConfig(batch_size=8),
     )
@@ -162,11 +183,25 @@ def _coco_v5e8() -> Config:
     )
 
 
+def _retinanet_r50_1024() -> Config:
+    """Eval-resolution protocol preset: letterbox to 1024 so a parity run
+    can match the reference's variable min-608/max-1024 eval resolution
+    (SURVEY.md §2 #14 — every val2017 image resized to max-side 1024 fits
+    this canvas at its reference scale)."""
+    return Config(
+        model=ModelConfig(name="retinanet_r50_1024", backbone_depth=50,
+                          image_size=(1024, 1024)),
+        train=TrainConfig(batch_size=8),
+        eval=EvalConfig(batch_size=4),
+    )
+
+
 PRESETS = {
     "retinanet_r50_640": _retinanet_r50_640,
     "ssd_512": _ssd_512,
     "retinanet_r101_fpn": _retinanet_r101_fpn,
     "coco_v5e8": _coco_v5e8,
+    "retinanet_r50_1024": _retinanet_r50_1024,
 }
 
 

@@ -95,10 +95,21 @@ class CocoDataset:
         }
 
     def load_image(self, idx: int) -> np.ndarray:
-        from PIL import Image
-
         info = self.images[idx]
         path = os.path.join(self.image_dir, info["file_name"])
+        if path.lower().endswith((".jpg", ".jpeg")):
+            # in-repo libjpeg binding (detjax/native/detjax_jpeg.cpp): the
+            # GIL-releasing replacement for the reference's PIL-in-worker
+            # decode (SURVEY.md §3.4); None → fall through to PIL
+            from detjax import native
+
+            with open(path, "rb") as f:
+                data = f.read()
+            img = native.decode_jpeg(data)
+            if img is not None:
+                return img
+        from PIL import Image
+
         with Image.open(path) as im:
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
 

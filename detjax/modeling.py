@@ -26,7 +26,8 @@ def anchor_config(cfg: Config) -> AnchorConfig:
     return AnchorConfig(
         min_level=m.min_level, max_level=m.max_level,
         scales=m.anchor_scales, ratios=m.anchor_ratios,
-        base_scale=m.anchor_base_scale)
+        base_scale=m.anchor_base_scale,
+        per_level_sizes=m.anchor_per_level_sizes)
 
 
 def build_model(preset: str, rng: Any = None, **overrides):

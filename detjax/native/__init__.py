@@ -25,9 +25,12 @@ from typing import Optional
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "detjax_native.cpp")
+_JPEG_SRC = os.path.join(os.path.dirname(__file__), "detjax_jpeg.cpp")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_jpeg_lib: Optional[ctypes.CDLL] = None
+_jpeg_failed = False
 
 
 def _cache_dir() -> str:
@@ -60,6 +63,69 @@ def _build() -> Optional[ctypes.CDLL]:
         pd, pu8, pu8, pd, f64, f64, pd, i64, i64, i64, pi64, pu8]
     lib.detjax_resize_bilinear_u8.argtypes = [pu8, i64, i64, i64, pu8, i64, i64]
     return lib
+
+
+def _build_jpeg() -> Optional[ctypes.CDLL]:
+    """Separate .so: links the system libjpeg; isolated so its absence
+    never takes down the rest of the native layer."""
+    with open(_JPEG_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so_path = os.path.join(_cache_dir(), f"detjax_jpeg_{tag}.so")
+    if not os.path.exists(so_path):
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, "detjax_jpeg.so")
+            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                   "-o", tmp, _JPEG_SRC, "-ljpeg"]
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, so_path)
+    lib = ctypes.CDLL(so_path)
+    i64 = ctypes.c_int64
+    pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.detjax_jpeg_info.argtypes = [pu8, i64, pi64, pi64]
+    lib.detjax_jpeg_info.restype = i64
+    lib.detjax_jpeg_decode.argtypes = [pu8, i64, pu8, i64]
+    lib.detjax_jpeg_decode.restype = i64
+    return lib
+
+
+def _get_jpeg() -> Optional[ctypes.CDLL]:
+    global _jpeg_lib, _jpeg_failed
+    if _jpeg_lib is not None or _jpeg_failed:
+        return _jpeg_lib
+    with _lock:
+        if _jpeg_lib is None and not _jpeg_failed:
+            try:
+                _jpeg_lib = _build_jpeg()
+            except Exception:
+                _jpeg_failed = True
+    return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _get_jpeg() is not None
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """JPEG bytes → [H, W, 3] uint8 RGB via in-repo libjpeg binding.
+
+    Returns None when the native path is unavailable or the payload isn't
+    a decodable JPEG (caller falls back to PIL). The C call releases the
+    GIL, so decoder threads scale on multi-core hosts.
+    """
+    lib = _get_jpeg()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h = np.zeros(1, np.int64)
+    w = np.zeros(1, np.int64)
+    if lib.detjax_jpeg_info(buf, len(buf), h, w):
+        return None
+    out = np.empty((int(h[0]), int(w[0]), 3), np.uint8)
+    if lib.detjax_jpeg_decode(buf, len(buf), out.reshape(-1), out.size):
+        return None
+    return out
 
 
 def _get() -> Optional[ctypes.CDLL]:

@@ -35,10 +35,17 @@ class AnchorConfig:
     scales: Tuple[float, ...] = (2 ** 0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0))
     ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     base_scale: float = 4.0
+    # SSD-style per-level ABSOLUTE anchor sizes (pixels): one tuple per
+    # level, all the same length. When set, replaces the RetinaNet rule
+    # (base_scale × stride × scales) — sizes are chosen per level rather
+    # than growing proportionally to the stride (SURVEY.md §2 #5).
+    per_level_sizes: Tuple[Tuple[float, ...], ...] = ()
 
     @property
     def num_per_cell(self) -> int:
-        return len(self.scales) * len(self.ratios)
+        n_scales = (len(self.per_level_sizes[0]) if self.per_level_sizes
+                    else len(self.scales))
+        return n_scales * len(self.ratios)
 
     @property
     def levels(self) -> Tuple[int, ...]:
@@ -75,7 +82,12 @@ def level_anchors(
     stride = 2 ** level
     h, w = image_size
     fh, fw = -(-h // stride), -(-w // stride)  # ceil-div: feature-map size
-    cell = generate_cell_anchors(cfg.base_scale * stride, cfg.scales, cfg.ratios)
+    if cfg.per_level_sizes:
+        sizes = cfg.per_level_sizes[level - cfg.min_level]
+        cell = generate_cell_anchors(1.0, sizes, cfg.ratios)
+    else:
+        cell = generate_cell_anchors(cfg.base_scale * stride, cfg.scales,
+                                     cfg.ratios)
     cy = (np.arange(fh, dtype=np.float32) + 0.5) * stride
     cx = (np.arange(fw, dtype=np.float32) + 0.5) * stride
     # [fh, fw, 4] shifts, row-major (y outer, x inner)

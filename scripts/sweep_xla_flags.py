@@ -96,9 +96,10 @@ def main():
                     p, o = f(p, base_state.batch_stats, o, images)
                 np.asarray(jax.tree.leaves(p)[0]).ravel()[:1]
                 best = min(best, (time.perf_counter() - t0) / 15)
-            print(f"{name:24s} {best * 1e3:7.2f} ms  {bs / best:6.1f} img/s")
+            print(f"{name:24s} {best * 1e3:7.2f} ms  {bs / best:6.1f} img/s",
+                  flush=True)
         except Exception as e:  # noqa: BLE001 - report and continue sweep
-            print(f"{name:24s} FAIL: {str(e)[:100]}")
+            print(f"{name:24s} FAIL: {str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """Golden-value tests for anchor generation (SURVEY.md §2 #6, §4.1)."""
 
 import numpy as np
+import pytest
 
 from detjax.ops.anchors import (
     AnchorConfig,
@@ -71,3 +72,33 @@ def test_cache_returns_same_object():
     a1 = anchors_for_shape((640, 640))
     a2 = anchors_for_shape((640, 640))
     assert a1 is a2
+
+
+def test_per_level_sizes_override_stride_rule():
+    """SSD-style anchors: absolute per-level sizes, not stride-proportional
+    (SURVEY.md §2 #5; VERDICT round-1 weak #3)."""
+    cfg = AnchorConfig(min_level=3, max_level=4, ratios=(1.0,),
+                       per_level_sizes=((20.0,), (30.0,)))
+    a3 = level_anchors(3, (64, 64), cfg)
+    a4 = level_anchors(4, (64, 64), cfg)
+    # first anchor is centered at (stride/2, stride/2) with the given size
+    np.testing.assert_allclose(a3[0], [4 - 10, 4 - 10, 4 + 10, 4 + 10])
+    np.testing.assert_allclose(a4[0], [8 - 15, 8 - 15, 8 + 15, 8 + 15])
+    assert cfg.num_per_cell == 1
+
+
+def test_ssd_preset_anchors_differ_from_retinanet():
+    from detjax.config import get_config
+    from detjax.modeling import anchor_config
+
+    ssd = anchor_config(get_config("ssd_512"))
+    retina = anchor_config(get_config("retinanet_r50_640"))
+    assert ssd.per_level_sizes and not retina.per_level_sizes
+    assert ssd.num_per_cell == 6
+    # SSD scale rule: smallest size = 0.1 * 512 at P3; largest = 0.9 * 512
+    assert ssd.per_level_sizes[0][0] == pytest.approx(51.2)
+    assert ssd.per_level_sizes[-1][0] == pytest.approx(460.8)
+    a = anchors_for_shape((512, 512), ssd)
+    w = a[:, 2] - a[:, 0]
+    h = a[:, 3] - a[:, 1]
+    assert np.sqrt(w * h).min() == pytest.approx(51.2, rel=1e-5)

@@ -121,3 +121,32 @@ def test_loss_jits_without_retrace(rng):
         v = f(jnp.asarray(logits[None]), jnp.asarray(reg[None]),
               jnp.asarray(gt[None]), jnp.asarray(labels[None]))
     assert np.isfinite(float(v))
+
+
+def test_focal_custom_vjp_matches_autodiff_gradient(rng):
+    """The analytic focal backward (ops/losses._focal_sum) must match
+    jax.grad of the reference elementwise formulation."""
+    import jax
+    import jax.numpy as jnp
+    from detjax.ops.losses import _focal_elem, _focal_sum
+
+    b, a, k = 2, 64, 7
+    logits = jnp.asarray(rng.normal(-1, 2, (b, a, k)), jnp.float32)
+    labels = jnp.asarray(
+        np.where(rng.random((b, a)) < 0.2, rng.integers(0, k, (b, a)), -1),
+        jnp.int32)
+    weight = jnp.asarray(rng.random((b, a)) < 0.9, jnp.float32)
+
+    for gamma in (2.0, 1.0, 1.7):
+        ref = jax.grad(
+            lambda x: jnp.sum(_focal_elem(x, labels, weight, 0.25, gamma)))(
+                logits)
+        got = jax.grad(
+            lambda x: jnp.sum(_focal_sum(x, labels, weight, 0.25, gamma)))(
+                logits)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+    # bf16 logits: gradient dtype follows input dtype like autodiff does
+    g16 = jax.grad(lambda x: jnp.sum(
+        _focal_sum(x, labels, weight, 0.25, 2.0)))(logits.astype(jnp.bfloat16))
+    assert g16.dtype == jnp.bfloat16
