@@ -47,6 +47,12 @@ class ModelConfig:
     frozen_backbone_bn: bool = True
     # Compute dtype on TPU; params stay fp32
     dtype: str = "bfloat16"
+    # Pallas fused identity-bottleneck kernels for the early backbone
+    # stages: "auto" = on TPU only, "on", "off". Default OFF: measured
+    # in-graph parity with XLA's own blocks on the train step (the fusion
+    # win is offset by the kernel's m=64 MXU underutilization) and a small
+    # regression on the inference path — see ROADMAP round-2 notes.
+    fused_backbone: str = "off"
 
     @property
     def num_anchors_per_cell(self) -> int:

@@ -24,13 +24,22 @@ class SyntheticDetectionDataset:
 
     def __init__(self, num_images: int = 64, image_size: Tuple[int, int] = (256, 256),
                  num_classes: int = 8, max_objects: int = 4, seed: int = 0,
-                 noise: float = 0.05):
+                 noise: float = 0.05,
+                 size_range: Tuple[float, float] = (0.125, 0.5),
+                 crowd_prob: float = 0.0):
+        """``size_range``: object side as a fraction of the image side —
+        (1/32, ·) produces COCO-"small" objects at 640px, exercising the
+        evaluator's area ranges. ``crowd_prob``: probability an object is
+        marked iscrowd (COCOeval ignore-region semantics; the hard e2e
+        gate uses this to exercise the crowd path)."""
         self.num_images = num_images
         self.image_size = image_size
         self.num_classes = num_classes
         self.max_objects = max_objects
         self.seed = seed
         self.noise = noise
+        self.size_range = size_range
+        self.crowd_prob = crowd_prob
         self.class_names = [f"class_{i}" for i in range(num_classes)]
         self.label_to_cat_id = {i: i for i in range(num_classes)}
 
@@ -44,10 +53,11 @@ class SyntheticDetectionDataset:
         h, w = self.image_size
         img = (rng.normal(0.2, self.noise, (h, w, 3)).clip(0, 1) * 255).astype(np.uint8)
         n = int(rng.integers(1, self.max_objects + 1))
-        boxes, labels = [], []
+        lo, hi = self.size_range
+        boxes, labels, crowds = [], [], []
         for _ in range(n):
-            bw = int(rng.integers(w // 8, w // 2))
-            bh = int(rng.integers(h // 8, h // 2))
+            bw = int(rng.integers(max(int(w * lo), 4), max(int(w * hi), 5)))
+            bh = int(rng.integers(max(int(h * lo), 4), max(int(h * hi), 5)))
             x0 = int(rng.integers(0, w - bw))
             y0 = int(rng.integers(0, h - bh))
             label = int(rng.integers(0, self.num_classes))
@@ -55,6 +65,7 @@ class SyntheticDetectionDataset:
             img[y0:y0 + bh, x0:x0 + bw] = color
             boxes.append([x0, y0, x0 + bw, y0 + bh])
             labels.append(label)
+            crowds.append(bool(rng.random() < self.crowd_prob))
         boxes = np.asarray(boxes, np.float32)
         labels = np.asarray(labels, np.int32)
         # later rectangles may fully occlude earlier ones; keep them anyway
@@ -63,7 +74,7 @@ class SyntheticDetectionDataset:
             "image": img,
             "boxes": boxes,
             "labels": labels,
-            "iscrowd": np.zeros(len(boxes), bool),
+            "iscrowd": np.asarray(crowds, bool),
             "areas": ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])),
             "image_id": idx,
             "file_name": f"synthetic_{idx}.png",

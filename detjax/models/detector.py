@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -32,8 +33,12 @@ class Detector(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         stage_sizes = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[cfg.backbone_depth]
+        fused = (cfg.fused_backbone == "on"
+                 or (cfg.fused_backbone == "auto"
+                     and jax.default_backend() == "tpu"))
         feats = ResNet(stage_sizes=stage_sizes, dtype=dtype,
                        frozen_bn=cfg.frozen_backbone_bn,
+                       fused_blocks=fused,
                        name="backbone")(images, train=train)
         feats = {l: f for l, f in feats.items() if l >= cfg.min_level}
         pyramid = FPN(min_level=cfg.min_level, max_level=cfg.max_level,

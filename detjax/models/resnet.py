@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -27,16 +28,80 @@ Array = jnp.ndarray
 Conv = partial(nn.Conv, use_bias=False, padding="SAME", kernel_init=nn.initializers.he_normal())
 
 
+class _ConvKernel(nn.Module):
+    """Param-only holder with nn.Conv's exact tree (<name>/kernel, same
+    shape HWIO, same he_normal init) — lets the fused-kernel path own the
+    math while checkpoints/importers see an identical PyTree."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", nn.initializers.he_normal(), self.shape)
+
+
+class _BNParams(nn.Module):
+    """Param/stats holder matching nn.BatchNorm's tree (scale/bias +
+    batch_stats mean/var, fp32)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        scale = self.param("scale", nn.initializers.ones, f)
+        bias = self.param("bias", nn.initializers.zeros, f)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(f, jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(f, jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+def _fold_bn(kernel: Array, scale, bias, mean, var,
+             eps: float = 1e-5) -> Tuple[Array, Array]:
+    """Fold frozen-BN affine+stats into conv weights: returns
+    (w_eff bf16 [..., out], b_eff fp32 [1, out])."""
+    s = (scale / jnp.sqrt(var + eps)).astype(jnp.float32)
+    w_eff = (kernel.astype(jnp.float32) * s).astype(jnp.bfloat16)
+    b_eff = (bias - mean * s).astype(jnp.float32)[None, :]
+    return w_eff, b_eff
+
+
 class BottleneckBlock(nn.Module):
-    """1×1 → 3×3(stride) → 1×1(×4) with projection shortcut when needed."""
+    """1×1 → 3×3(stride) → 1×1(×4) with projection shortcut when needed.
+
+    ``fused=True`` routes stride-1 identity blocks through the Pallas
+    fused-block kernel (detjax.kernels.bottleneck): same math, same param
+    tree (see _ConvKernel/_BNParams), ~5× less HBM traffic on the
+    bandwidth-bound early stages. Requires frozen-BN semantics.
+    """
 
     filters: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
     norm: Callable = nn.BatchNorm
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        identity_shape = (x.shape[-1] == self.filters * 4
+                          and self.stride == 1)
+        if self.fused and identity_shape and self.dtype == jnp.bfloat16:
+            from detjax.kernels.bottleneck import bottleneck_identity
+
+            c, f = x.shape[-1], self.filters
+            w1 = _ConvKernel((1, 1, c, f), name="conv1")()
+            w2 = _ConvKernel((3, 3, f, f), name="conv2")()
+            w3 = _ConvKernel((1, 1, f, c), name="conv3")()
+            bn1 = _BNParams(f, name="bn1")()
+            bn2 = _BNParams(f, name="bn2")()
+            bn3 = _BNParams(c, name="bn3")()
+            w1e, b1e = _fold_bn(w1[0, 0], *bn1)
+            w2e, b2e = _fold_bn(w2, *bn2)
+            w3e, b3e = _fold_bn(w3[0, 0], *bn3)
+            return bottleneck_identity(
+                x.astype(jnp.bfloat16), w1e, b1e, w2e, b2e, w3e, b3e)
         residual = x
         y = Conv(self.filters, (1, 1), dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
@@ -68,9 +133,13 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     dtype: Any = jnp.bfloat16
     frozen_bn: bool = True
+    fused_blocks: bool = False  # Pallas fused identity bottlenecks (TPU)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Dict[int, Array]:
+        # fused kernel assumes running-average BN (stats are constants
+        # foldable into the conv); with live batch stats fall back to XLA
+        fused = self.fused_blocks and (self.frozen_bn or not train)
         norm = partial(
             nn.BatchNorm,
             use_running_average=self.frozen_bn or not train,
@@ -84,6 +153,11 @@ class ResNet(nn.Module):
                  dtype=self.dtype, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
+        # NOTE: a Pallas backward for this max pool exists
+        # (kernels/stem.py, exact SelectAndScatter routing) but measured
+        # 13.1 ms vs XLA's 5.97 ms at the 640px stem shape — the phase
+        # split/merge relayouts dominate. Kept as tested reference; XLA's
+        # SelectAndScatter stays on the hot path (ROADMAP round-2 notes).
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats: Dict[int, Array] = {}
         filters = (64, 128, 256, 512)
@@ -92,6 +166,12 @@ class ResNet(nn.Module):
                 stride = 2 if block == 0 and stage > 0 else 1
                 x = BottleneckBlock(
                     f, stride=stride, dtype=self.dtype, norm=norm,
+                    # only the bandwidth-bound stages win: measured at the
+                    # 640px/bs16 flagship, fused vs XLA fwd+bwd per block is
+                    # 5.3 vs 7.3 ms (layer1) and 2.8 vs 3.6 (layer2), but
+                    # par on layer3 and a loss on layer4 (compute-bound) —
+                    # scripts/profile_bottleneck.py
+                    fused=fused and stage < 2,
                     name=f"layer{stage + 1}_block{block}")(x)
             feats[stage + 2] = x  # C2..C5 at strides 4,8,16,32
         return feats

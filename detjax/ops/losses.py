@@ -139,6 +139,79 @@ class DetectionLossOutput(NamedTuple):
     metrics: Dict[str, Array]
 
 
+def detection_loss_per_level(
+    outputs: Dict[int, Tuple[Array, Array]],  # {level: (cls [B,H,W,A·K], box [B,H,W,A·4])}
+    anchors: Array,  # [ΣA, 4] concatenated in ascending-level order
+    level_sizes: Dict[int, int],  # {level: H·W·A}
+    gt_boxes: Array,  # [B, G, 4]
+    gt_labels: Array,  # [B, G]
+    fg_iou_threshold: float = 0.5,
+    bg_iou_threshold: float = 0.4,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    beta: float = 1.0 / 9.0,
+    box_std: Sequence[float] = DEFAULT_BOX_STD,
+) -> DetectionLossOutput:
+    """Same math as :func:`detection_loss`, computed PER LEVEL on the
+    heads' conv-native [B, H, W, A·K] layouts.
+
+    The flattened path concatenates five [B, H·W·A, K] tensors (the
+    reference's design, SURVEY.md §3.1); on TPU that flatten+concat is a
+    physical relayout of ~200 MB in each direction of the step. Here
+    matching runs once on the concatenated anchors (tiny [B, ΣA] tensors),
+    the per-anchor targets are sliced per level — contiguous reshapes —
+    and focal/smooth-L1 reduce the big head outputs in their native
+    layout, so the loss fuses into the heads' epilogues.
+    """
+    m: MatchResult = match_anchors(
+        anchors, gt_boxes, gt_labels, fg_iou_threshold, bg_iou_threshold)
+    num_pos_vec = jnp.maximum(
+        jnp.sum(m.positive.astype(jnp.float32), axis=-1), 1.0)  # [B]
+    reg_targets = encode_boxes(m.matched_boxes, anchors[None, :, :], box_std)
+
+    cls_sum = 0.0
+    reg_sum = 0.0
+    off = 0
+    for level in sorted(outputs):
+        cls4, box4 = outputs[level]
+        b, h, w, _ = cls4.shape
+        a = level_sizes[level] // (h * w)
+        k = cls4.shape[-1] // a
+        n = level_sizes[level]
+        lab = jax.lax.dynamic_slice_in_dim(
+            m.matched_labels, off, n, 1).reshape(b, h, w, a)
+        pos = jax.lax.dynamic_slice_in_dim(
+            m.positive, off, n, 1).reshape(b, h, w, a)
+        neg = jax.lax.dynamic_slice_in_dim(
+            m.negative, off, n, 1).reshape(b, h, w, a)
+        weight = (pos | neg).astype(jnp.float32)
+        # [B,H,W,A·K] → [B,H,W,A,K] is a contiguous (bitcast) split; the
+        # focal custom-VJP sums over the trailing (A,K) into [B,H,W] —
+        # reduce the spatial dims here
+        cls_sum = cls_sum + jnp.sum(
+            _focal_sum(cls4.reshape(b, h, w, a, k),
+                       lab, weight, alpha, gamma), axis=(-2, -1))
+        tgt = jax.lax.dynamic_slice_in_dim(
+            reg_targets, off, n, 1).reshape(b, h, w, a * 4)
+        diff = jnp.abs(box4.astype(jnp.float32) - tgt)
+        sl1 = jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                        diff - 0.5 * beta)
+        wpos = jnp.repeat(pos.astype(jnp.float32), 4, axis=-1)
+        reg_sum = reg_sum + jnp.sum(sl1 * wpos, axis=(1, 2, 3))
+        off += n
+
+    cls = cls_sum / num_pos_vec
+    reg_den = jnp.maximum(
+        jnp.sum(m.positive.astype(jnp.float32), axis=-1) * 4.0, 1.0)
+    reg = reg_sum / reg_den
+    metrics = {
+        "num_pos": jnp.sum(m.positive.astype(jnp.float32)) / cls.shape[0],
+        "cls_loss": jnp.mean(cls),
+        "reg_loss": jnp.mean(reg),
+    }
+    return DetectionLossOutput(jnp.mean(cls), jnp.mean(reg), metrics)
+
+
 def detection_loss(
     cls_logits: Array,  # [B, A, K]
     reg_preds: Array,  # [B, A, 4]

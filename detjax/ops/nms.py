@@ -208,23 +208,10 @@ def _select_candidates(
 
 
 def _greedy_nms_single(off_boxes, cand_scores, iou_threshold, max_detections):
-    """One-image greedy suppression on class-offset boxes (lax scan)."""
-    n = off_boxes.shape[0]
-
-    def step(live, _):
-        best = jnp.argmax(live)
-        best_score = live[best]
-        valid = best_score > NEG_INF / 2
-        iou = box_iou(off_boxes[best][None, :], off_boxes)[0]
-        suppress = (iou > iou_threshold) | (
-            jnp.arange(n, dtype=jnp.int32) == best.astype(jnp.int32))
-        live = jnp.where(valid & suppress, NEG_INF, live)
-        return live, (jnp.where(valid, best.astype(jnp.int32), -1),
-                      jnp.where(valid, best_score, 0.0))
-
-    _, (keep_idx, keep_scores) = jax.lax.scan(
-        step, cand_scores, None, length=max_detections)
-    return keep_idx, keep_scores
+    """One-image greedy suppression on class-offset boxes — same oracle as
+    :func:`nms_single_class` (one shared body, :func:`_greedy_suppress`)."""
+    return _greedy_suppress(off_boxes, cand_scores, iou_threshold,
+                            max_detections)
 
 
 def fused_detect_postprocess(

@@ -84,6 +84,15 @@ def main():
     out.append({"config": 1, "metric": "R50-640 single-image fused infer",
                 "value": round(_measure_infer(cfg, bs=1), 2),
                 "unit": "images/sec/chip"})
+    # config 1 latency-tuned: bs=1 wants a smaller candidate set — the
+    # global 1000-candidate prefilter is sized for recall at bs=8 batch
+    # throughput; 300 keeps COCO maxDets=100 headroom at ~3× margin
+    cfg = get_config("retinanet_r50_640", **{"eval.pre_nms_top_k": 300})
+    out.append({"config": 1,
+                "metric": "R50-640 single-image infer, latency-tuned "
+                          "(300 candidates)",
+                "value": round(_measure_infer(cfg, bs=1), 2),
+                "unit": "images/sec/chip"})
     # config 2: SSD-512 batched inference bs=8
     cfg = get_config("ssd_512")
     out.append({"config": 2, "metric": "SSD-512 bs=8 fused infer",

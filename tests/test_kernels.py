@@ -143,3 +143,116 @@ def test_fused_postprocess_pallas_backend_matches_lax(rng):
                                np.asarray(lax_det.boxes), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(pl_det.num_valid),
                                   np.asarray(lax_det.num_valid))
+
+
+class TestFusedBottleneck:
+    """Fused identity-bottleneck kernel (detjax.kernels.bottleneck) vs the
+    lax oracle: forward within one bf16 ulp, grads at fp32-accumulation
+    noise, and drop-in param-tree equivalence inside ResNet."""
+
+    def _args(self, rng, b=2, h=32, w=16, c=128):
+        import jax.numpy as jnp
+
+        m = c // 4
+        mk = lambda shape, s: jnp.asarray(rng.normal(0, s, shape), jnp.bfloat16)
+        return (
+            mk((b, h, w, c), 1.0),
+            mk((c, m), 0.1),
+            jnp.asarray(rng.normal(0, 0.1, (1, m)), jnp.float32),
+            mk((3, 3, m, m), 0.1),
+            jnp.asarray(rng.normal(0, 0.1, (1, m)), jnp.float32),
+            mk((m, c), 0.1),
+            jnp.asarray(rng.normal(0, 0.1, (1, c)), jnp.float32),
+        )
+
+    def test_forward_matches_oracle(self, rng):
+        from detjax.kernels.bottleneck import (
+            bottleneck_identity, bottleneck_identity_reference)
+
+        args = self._args(rng)
+        out = np.asarray(bottleneck_identity(*args), np.float32)
+        ref = np.asarray(bottleneck_identity_reference(*args), np.float32)
+        # identical up to one bf16 ulp (fp32 accumulation-order rounding)
+        assert np.abs(out - ref).max() <= 0.05 * max(np.abs(ref).max(), 1.0)
+        assert (out != ref).mean() < 0.01
+
+    def test_gradients_match_oracle(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from detjax.kernels.bottleneck import (
+            bottleneck_identity, bottleneck_identity_reference)
+
+        args = self._args(rng, b=1, h=16, w=16, c=64)
+
+        def loss(fn, a):
+            return jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+        gk = jax.grad(lambda a: loss(bottleneck_identity, a))(args)
+        gr = jax.grad(lambda a: loss(bottleneck_identity_reference, a))(args)
+        for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-3)
+            assert np.abs(a - b).max() / scale < 0.02
+
+    def test_resnet_fused_is_dropin(self, rng):
+        """fused_blocks=True must accept the SAME variables (identical
+        param tree) and produce the same features (bf16 tolerance)."""
+        import jax
+        import jax.numpy as jnp
+
+        from detjax.models.resnet import ResNet
+
+        x = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)), jnp.float32)
+        plain = ResNet(stage_sizes=(2,), frozen_bn=True, fused_blocks=False)
+        fused = ResNet(stage_sizes=(2,), frozen_bn=True, fused_blocks=True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        v2 = fused.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree.structure(variables) == jax.tree.structure(v2))
+        for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        f_plain = np.asarray(plain.apply(variables, x)[2], np.float32)
+        f_fused = np.asarray(fused.apply(variables, x)[2], np.float32)
+        scale = max(np.abs(f_plain).max(), 1.0)
+        assert np.abs(f_plain - f_fused).max() / scale < 0.05
+
+
+class TestMaxPoolBwd:
+    """Pallas max-pool backward vs XLA SelectAndScatter: exact equality,
+    including first-match tie routing on bf16 inputs (relu zeros tie a lot
+    in the real stem)."""
+
+    def test_gradient_matches_selectandscatter(self, rng):
+        from detjax.kernels.stem import max_pool_3x3s2, max_pool_3x3s2_reference
+
+        for shape in ((2, 16, 16, 8), (1, 64, 32, 8)):
+            z = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+            # relu-like clamping creates exact ties inside windows
+            z = jnp.maximum(z, 0.0)
+            ct = jnp.asarray(rng.normal(0, 1, max_pool_3x3s2_reference(z).shape),
+                             jnp.float32)
+
+            def loss_ref(z):
+                return jnp.sum(max_pool_3x3s2_reference(z) * ct)
+
+            def loss_ker(z):
+                return jnp.sum(max_pool_3x3s2(z) * ct)
+
+            g_ref = np.asarray(jax.grad(loss_ref)(z))
+            g_ker = np.asarray(jax.grad(loss_ker)(z))
+            # identical ROUTING (support must match exactly — that is the
+            # first-match tie-break under test); values can differ in the
+            # last float bit where one position feeds several windows
+            # (summation order)
+            np.testing.assert_array_equal(g_ker != 0.0, g_ref != 0.0)
+            np.testing.assert_allclose(g_ker, g_ref, atol=1e-6, rtol=1e-6)
+
+    def test_bf16_forward_identical(self, rng):
+        from detjax.kernels.stem import max_pool_3x3s2, max_pool_3x3s2_reference
+
+        z = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 8)), jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_3x3s2(z), np.float32),
+            np.asarray(max_pool_3x3s2_reference(z), np.float32))

@@ -150,3 +150,44 @@ def test_focal_custom_vjp_matches_autodiff_gradient(rng):
     g16 = jax.grad(lambda x: jnp.sum(
         _focal_sum(x, labels, weight, 0.25, 2.0)))(logits.astype(jnp.bfloat16))
     assert g16.dtype == jnp.bfloat16
+
+
+def test_detection_loss_per_level_matches_flat(rng):
+    """detection_loss_per_level (conv-native layouts) must equal the
+    flattened-path detection_loss bit-for-bit-ish on the same outputs."""
+    import jax.numpy as jnp
+    from detjax.ops.anchors import AnchorConfig, anchors_for_shape, anchors_per_level
+    from detjax.ops.losses import detection_loss, detection_loss_per_level
+
+    acfg = AnchorConfig(min_level=3, max_level=5)
+    image = (64, 64)
+    anchors = jnp.asarray(anchors_for_shape(image, acfg))
+    per = anchors_per_level(image, acfg)
+    sizes = {l: a.shape[0] for l, a in per.items()}
+    b, k, a_cell = 2, 5, acfg.num_per_cell
+    outputs, cls_flat, box_flat = {}, [], []
+    for l in sorted(per):
+        stride = 2 ** l
+        h = w = -(-image[0] // stride)
+        cls4 = jnp.asarray(rng.normal(-2, 1, (b, h, w, a_cell * k)),
+                           jnp.float32)
+        box4 = jnp.asarray(rng.normal(0, 0.2, (b, h, w, a_cell * 4)),
+                           jnp.float32)
+        outputs[l] = (cls4, box4)
+        cls_flat.append(cls4.reshape(b, h * w * a_cell, k))
+        box_flat.append(box4.reshape(b, h * w * a_cell, 4))
+    gt_boxes = jnp.asarray([[[4, 4, 30, 30], [20, 20, 60, 60]]] * b,
+                           jnp.float32)
+    gt_labels = jnp.asarray([[1, 3]] * b, jnp.int32)
+
+    flat = detection_loss(jnp.concatenate(cls_flat, 1),
+                          jnp.concatenate(box_flat, 1),
+                          anchors, gt_boxes, gt_labels)
+    lvl = detection_loss_per_level(outputs, anchors, sizes,
+                                   gt_boxes, gt_labels)
+    np.testing.assert_allclose(float(lvl.cls_loss), float(flat.cls_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(lvl.reg_loss), float(flat.reg_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(lvl.metrics["num_pos"]),
+                               float(flat.metrics["num_pos"]))
