@@ -37,6 +37,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--preset", default="retinanet_r50_640")
+    ap.add_argument("--depth", type=int, choices=(18, 34, 50, 101, 152),
+                    help="backbone depth (mirrors the reference's --depth; "
+                         "shorthand for --set model.backbone_depth=N)")
     ap.add_argument("--coco-path", help="dir with annotations/ and images/")
     ap.add_argument("--train-ann", help="explicit annotation JSON path")
     ap.add_argument("--train-images", help="explicit image dir")
@@ -88,6 +91,8 @@ def main():
     from detjax.train.loop import FitResult
 
     overrides = parse_overrides(args.overrides)
+    if args.depth is not None:
+        overrides["model.backbone_depth"] = args.depth
     cfg = get_config(args.preset, **overrides)
 
     if args.synthetic:

@@ -22,7 +22,7 @@ class ModelConfig:
 
     name: str = "retinanet_r50_640"
     family: str = "retinanet"  # "retinanet" | "ssd"
-    backbone_depth: int = 50  # 50 | 101
+    backbone_depth: int = 50  # 18 | 34 | 50 | 101 | 152 (lineage --depth)
     image_size: Tuple[int, int] = (640, 640)  # (H, W), static
     num_classes: int = 80
     # FPN / pyramid

@@ -213,6 +213,11 @@ def decode_boxes_pallas(
 
     Exact same math as :func:`detjax.ops.boxes.decode_boxes` /
     ``clip_boxes`` (SURVEY.md §2 #10/#11), tiled over the anchor axis.
+    This is the TPU backend of the public
+    :func:`detjax.ops.boxes.decode_clip_boxes` (the reference's
+    ``BBoxTransform``→``ClipBoxes`` full-set contract); the production
+    detect path instead gathers ~1k candidates before decoding
+    (ops/nms._select_candidates), which supersedes full-set decode there.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -9,15 +9,33 @@ TPU-first conventions used throughout:
     in batch-stats mode for from-scratch training
 """
 
-from detjax.models.resnet import ResNet, resnet50, resnet101
+from detjax.models.resnet import (
+    RESNET_SPECS,
+    BasicBlock,
+    BottleneckBlock,
+    ResNet,
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
+    resnet152,
+    resnet_by_depth,
+)
 from detjax.models.fpn import FPN
 from detjax.models.heads import RetinaNetHead, SSDHead
 from detjax.models.detector import Detector, build_detector
 
 __all__ = [
+    "RESNET_SPECS",
+    "BasicBlock",
+    "BottleneckBlock",
     "ResNet",
+    "resnet18",
+    "resnet34",
     "resnet50",
     "resnet101",
+    "resnet152",
+    "resnet_by_depth",
     "FPN",
     "RetinaNetHead",
     "SSDHead",

@@ -19,7 +19,7 @@ from flax import linen as nn
 from detjax.config import ModelConfig
 from detjax.models.fpn import FPN
 from detjax.models.heads import RetinaNetHead, SSDHead
-from detjax.models.resnet import ResNet
+from detjax.models.resnet import RESNET_SPECS, ResNet
 
 Array = jnp.ndarray
 
@@ -32,11 +32,15 @@ class Detector(nn.Module):
         """images [B, H, W, 3] normalized NHWC → (cls [B,ΣA,K], box [B,ΣA,4])."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        stage_sizes = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[cfg.backbone_depth]
+        if cfg.backbone_depth not in RESNET_SPECS:
+            raise ValueError(
+                f"unsupported backbone depth {cfg.backbone_depth}; "
+                f"have {sorted(RESNET_SPECS)}")
+        block, stage_sizes = RESNET_SPECS[cfg.backbone_depth]
         fused = (cfg.fused_backbone == "on"
                  or (cfg.fused_backbone == "auto"
                      and jax.default_backend() == "tpu"))
-        feats = ResNet(stage_sizes=stage_sizes, dtype=dtype,
+        feats = ResNet(stage_sizes=stage_sizes, block=block, dtype=dtype,
                        frozen_bn=cfg.frozen_backbone_bn,
                        fused_blocks=fused,
                        name="backbone")(images, train=train)

@@ -124,13 +124,50 @@ class BottleneckBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class BasicBlock(nn.Module):
+    """3×3(stride) → 3×3 residual block (expansion 1) for ResNet-18/34.
+
+    torchvision-compatible structure and naming (conv1/bn1/conv2/bn2,
+    downsample on the first block of a stage when shape changes) so the
+    weight importer maps ``layer{s}.{b}.conv{1,2}`` 1:1 — the lineage's
+    ``BasicBlock`` (SURVEY.md §2 #1 key classes).
+    """
+
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    norm: Callable = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        residual = x
+        # symmetric (1,1) padding: torch-equivalent for stride 2 where flax
+        # "SAME" pads (0,1) — see BottleneckBlock conv2 note
+        y = Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                 dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if residual.shape[-1] != self.filters or self.stride != 1:
+            residual = Conv(self.filters, (1, 1),
+                            strides=(self.stride, self.stride),
+                            dtype=self.dtype, name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
 class ResNet(nn.Module):
     """Returns {2: C2, 3: C3, 4: C4, 5: C5} feature maps (NHWC).
 
-    stage_sizes: (3,4,6,3) → R50, (3,4,23,3) → R101 (SURVEY.md §3.5).
+    stage_sizes: (3,4,6,3) → R50, (3,4,23,3) → R101 (SURVEY.md §3.5);
+    block="basic" with (2,2,2,2)/(3,4,6,3) → R18/R34, (3,8,36,3) → R152 —
+    the full torchvision depth family the lineage's ``--depth`` flag exposes.
     """
 
     stage_sizes: Sequence[int]
+    block: str = "bottleneck"  # "bottleneck" (R50/101/152) | "basic" (R18/34)
     dtype: Any = jnp.bfloat16
     frozen_bn: bool = True
     fused_blocks: bool = False  # Pallas fused identity bottlenecks (TPU)
@@ -164,22 +201,60 @@ class ResNet(nn.Module):
         for stage, (size, f) in enumerate(zip(self.stage_sizes, filters)):
             for block in range(size):
                 stride = 2 if block == 0 and stage > 0 else 1
-                x = BottleneckBlock(
-                    f, stride=stride, dtype=self.dtype, norm=norm,
-                    # only the bandwidth-bound stages win: measured at the
-                    # 640px/bs16 flagship, fused vs XLA fwd+bwd per block is
-                    # 5.3 vs 7.3 ms (layer1) and 2.8 vs 3.6 (layer2), but
-                    # par on layer3 and a loss on layer4 (compute-bound) —
-                    # scripts/profile_bottleneck.py
-                    fused=fused and stage < 2,
-                    name=f"layer{stage + 1}_block{block}")(x)
+                if self.block == "basic":
+                    x = BasicBlock(
+                        f, stride=stride, dtype=self.dtype, norm=norm,
+                        name=f"layer{stage + 1}_block{block}")(x)
+                else:
+                    x = BottleneckBlock(
+                        f, stride=stride, dtype=self.dtype, norm=norm,
+                        # only the bandwidth-bound stages win: measured at the
+                        # 640px/bs16 flagship, fused vs XLA fwd+bwd per block is
+                        # 5.3 vs 7.3 ms (layer1) and 2.8 vs 3.6 (layer2), but
+                        # par on layer3 and a loss on layer4 (compute-bound) —
+                        # scripts/profile_bottleneck.py
+                        fused=fused and stage < 2,
+                        name=f"layer{stage + 1}_block{block}")(x)
             feats[stage + 2] = x  # C2..C5 at strides 4,8,16,32
         return feats
 
 
+# torchvision/lineage depth family (train.py --depth {18,34,50,101,152}):
+# depth → (block type, stage sizes)
+RESNET_SPECS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+def resnet_by_depth(depth: int, dtype: Any = jnp.bfloat16,
+                    frozen_bn: bool = True, **kw) -> ResNet:
+    if depth not in RESNET_SPECS:
+        raise ValueError(
+            f"unsupported backbone depth {depth}; have {sorted(RESNET_SPECS)}")
+    block, sizes = RESNET_SPECS[depth]
+    return ResNet(stage_sizes=sizes, block=block, dtype=dtype,
+                  frozen_bn=frozen_bn, **kw)
+
+
+def resnet18(dtype: Any = jnp.bfloat16, frozen_bn: bool = True) -> ResNet:
+    return resnet_by_depth(18, dtype, frozen_bn)
+
+
+def resnet34(dtype: Any = jnp.bfloat16, frozen_bn: bool = True) -> ResNet:
+    return resnet_by_depth(34, dtype, frozen_bn)
+
+
 def resnet50(dtype: Any = jnp.bfloat16, frozen_bn: bool = True) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, frozen_bn=frozen_bn)
+    return resnet_by_depth(50, dtype, frozen_bn)
 
 
 def resnet101(dtype: Any = jnp.bfloat16, frozen_bn: bool = True) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 23, 3), dtype=dtype, frozen_bn=frozen_bn)
+    return resnet_by_depth(101, dtype, frozen_bn)
+
+
+def resnet152(dtype: Any = jnp.bfloat16, frozen_bn: bool = True) -> ResNet:
+    return resnet_by_depth(152, dtype, frozen_bn)

@@ -11,6 +11,7 @@ from detjax.ops.boxes import (
     encode_boxes,
     decode_boxes,
     clip_boxes,
+    decode_clip_boxes,
 )
 from detjax.ops.matching import match_anchors
 from detjax.ops.losses import focal_loss, smooth_l1_loss, detection_loss
@@ -29,6 +30,7 @@ __all__ = [
     "encode_boxes",
     "decode_boxes",
     "clip_boxes",
+    "decode_clip_boxes",
     "match_anchors",
     "focal_loss",
     "smooth_l1_loss",

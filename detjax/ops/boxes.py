@@ -96,3 +96,34 @@ def clip_boxes(boxes: Array, image_size: Tuple[int, int]) -> Array:
     lo = jnp.zeros((4,), dtype=boxes.dtype)
     hi = jnp.asarray([w, h, w, h], dtype=boxes.dtype)
     return jnp.clip(boxes, lo, hi)
+
+
+def decode_clip_boxes(
+    deltas: Array,  # [B, A, 4]
+    anchors: Array,  # [A, 4]
+    image_size: Tuple[int, int],
+    std: Sequence[float] = DEFAULT_BOX_STD,
+    backend: str = "auto",  # "auto" | "pallas" | "jnp"
+) -> Array:
+    """Fused full-anchor-set decode + clip — the public composition of the
+    reference's ``BBoxTransform`` → ``ClipBoxes`` eval-branch pair
+    (SURVEY.md §3.2).
+
+    ``backend="auto"`` runs the Pallas VMEM-tiled kernel on TPU
+    (detjax.kernels.postprocess.decode_boxes_pallas) and plain jnp
+    elsewhere; results are identical. Note the production detect path does
+    NOT decode the full set — it gathers ~1k candidates first
+    (ops/nms._select_candidates), which supersedes full-set decoding; this
+    API exists for users who want all-anchor boxes (the reference's
+    BBoxTransform contract).
+    """
+    import jax
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        from detjax.kernels.postprocess import decode_boxes_pallas
+
+        return decode_boxes_pallas(deltas, anchors, std=std,
+                                   image_size=image_size)
+    return clip_boxes(decode_boxes(deltas, anchors, std), image_size)

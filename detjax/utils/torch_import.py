@@ -71,8 +71,18 @@ def _conv(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 
 
-def _torch_resnet_key_map(stage_sizes) -> Dict[str, Tuple[str, ...]]:
-    """torch state_dict prefix → flax module path under ``backbone``."""
+def _torch_resnet_key_map(stage_sizes,
+                          block: str = "bottleneck") -> Dict[str, Tuple[str, ...]]:
+    """torch state_dict prefix → flax module path under ``backbone``.
+
+    ``block="basic"`` (R18/34): two 3×3 convs per block, and the projection
+    shortcut exists only where the shape changes — i.e. NOT on layer1
+    (64→64 stride 1), unlike bottleneck blocks whose 4× expansion always
+    projects on block 0.
+    """
+    units = (("conv1", "bn1", "conv2", "bn2")
+             if block == "basic"
+             else ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3"))
     m: Dict[str, Tuple[str, ...]] = {
         "conv1": ("conv1",),
         "bn1": ("bn1",),
@@ -81,11 +91,12 @@ def _torch_resnet_key_map(stage_sizes) -> Dict[str, Tuple[str, ...]]:
         for b in range(size):
             flax_block = f"layer{s + 1}_block{b}"
             t = f"layer{s + 1}.{b}"
-            for unit in ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3"):
+            for unit in units:
                 m[f"{t}.{unit}"] = (flax_block, unit)
-            if b == 0:  # projection shortcut exists only on the first
-                # block of each stage (stride and/or channel change) —
-                # torchvision and detjax.models.resnet agree on this
+            if b == 0 and (block != "basic" or s > 0):
+                # projection shortcut exists only on the first block of a
+                # stage with a stride and/or channel change — torchvision
+                # and detjax.models.resnet agree on this
                 m[f"{t}.downsample.0"] = (flax_block, "downsample_conv")
                 m[f"{t}.downsample.1"] = (flax_block, "downsample_bn")
     return m
@@ -115,6 +126,7 @@ def import_resnet_backbone(
     prefix: str = "",
     strict: bool = True,
     stage_sizes: Optional[Tuple[int, ...]] = None,
+    block: Optional[str] = None,
 ) -> Tuple[dict, dict, Dict[str, list]]:
     """Copy torchvision-format ResNet weights into detjax params/batch_stats.
 
@@ -130,9 +142,13 @@ def import_resnet_backbone(
     import jax
     from flax import core as flax_core
 
-    if stage_sizes is None:
-        stage_sizes = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
-    key_map = _torch_resnet_key_map(stage_sizes)
+    if stage_sizes is None or block is None:
+        from detjax.models.resnet import RESNET_SPECS
+
+        spec_block, spec_sizes = RESNET_SPECS[depth]
+        stage_sizes = stage_sizes if stage_sizes is not None else spec_sizes
+        block = block if block is not None else spec_block
+    key_map = _torch_resnet_key_map(stage_sizes, block=block)
 
     params = jax.tree.map(
         np.asarray, jax.device_get(flax_core.unfreeze(params)))
@@ -211,6 +227,7 @@ def import_full_detector(
     prefix: str = "",
     strict: bool = True,
     stage_sizes: Optional[Tuple[int, ...]] = None,
+    block: Optional[str] = None,
     num_head_convs: int = 4,
     min_level: int = 3,
 ) -> Tuple[dict, dict, Dict[str, list]]:
@@ -232,7 +249,7 @@ def import_full_detector(
 
     params, batch_stats, report = import_resnet_backbone(
         params, batch_stats, sd, depth=depth, strict=strict,
-        stage_sizes=stage_sizes)
+        stage_sizes=stage_sizes, block=block)
 
     key_map = _fpn_head_key_map(num_head_convs=num_head_convs,
                                 min_level=min_level)

@@ -77,3 +77,25 @@ def test_clip():
     boxes = jnp.array([[-5, -5, 700, 300], [10, 20, 30, 40]], dtype=jnp.float32)
     out = np.asarray(clip_boxes(boxes, (480, 640)))
     np.testing.assert_allclose(out, [[0, 0, 640, 300], [10, 20, 30, 40]])
+
+
+def test_decode_clip_boxes_fused_matches_composition():
+    """decode_clip_boxes (public BBoxTransform→ClipBoxes composition; Pallas
+    on TPU, jnp elsewhere) == clip(decode(...)) on every backend."""
+    import numpy as np
+    import jax.numpy as jnp
+    from detjax.ops.boxes import clip_boxes, decode_boxes, decode_clip_boxes
+
+    rng = np.random.default_rng(7)
+    a = 300
+    anchors = np.stack([rng.uniform(0, 600, a), rng.uniform(0, 600, a)], -1)
+    anchors = np.concatenate(
+        [anchors, anchors + rng.uniform(8, 60, (a, 2))], -1).astype(np.float32)
+    deltas = rng.normal(0, 1, (2, a, 4)).astype(np.float32)
+
+    want = clip_boxes(
+        decode_boxes(jnp.asarray(deltas), jnp.asarray(anchors)), (640, 640))
+    got = decode_clip_boxes(jnp.asarray(deltas), jnp.asarray(anchors),
+                            (640, 640))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)

@@ -87,3 +87,36 @@ def test_forward_jit_no_retrace(r50_small):
         x = jnp.full((1, 128, 128, 3), float(i))
         cls, box = f(variables, x)
     assert np.isfinite(np.asarray(cls)).all()
+
+
+def test_basicblock_depth_family():
+    """R18/R34 use BasicBlock (SURVEY.md §2 #1 key classes); C3..C5 channels
+    are 128/256/512 (expansion 1) and the FPN laterals adapt."""
+    cfg = get_config("retinanet_r50_640",
+                     **{"model.image_size": (128, 128),
+                        "model.backbone_depth": 18})
+    module, variables = build_model(cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 128, 128, 3))
+    cls, box = module.apply(variables, x, train=False)
+    a = num_anchors((128, 128), anchor_config(cfg))
+    assert cls.shape == (1, a, 80)
+    assert box.shape == (1, a, 4)
+    p = variables["params"]["backbone"]
+    # basic blocks: no conv3, no projection on layer1 (64→64 stride 1)
+    assert "conv3" not in p["layer1_block0"]
+    assert "downsample_conv" not in p["layer1_block0"]
+    assert "downsample_conv" in p["layer2_block0"]
+    n = sum(np.prod(q.shape) for q in jax.tree.leaves(variables["params"]))
+    # R18 backbone 11.2M + FPN ~3.8M + heads ~6.5M
+    assert 18e6 < n < 25e6
+
+
+def test_resnet_spec_dispatch():
+    from detjax.models import RESNET_SPECS, resnet_by_depth
+
+    assert RESNET_SPECS[34] == ("basic", (3, 4, 6, 3))
+    assert RESNET_SPECS[152] == ("bottleneck", (3, 8, 36, 3))
+    m = resnet_by_depth(34, dtype=jnp.float32)
+    assert m.block == "basic" and m.stage_sizes == (3, 4, 6, 3)
+    with pytest.raises(ValueError, match="unsupported backbone depth"):
+        resnet_by_depth(42)

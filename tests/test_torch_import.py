@@ -290,3 +290,103 @@ def test_flax_matches_torch_forward(rng):
     want = _torch_forward(sd, np.transpose(x, (0, 3, 1, 2)))  # NCHW
     want_nhwc = np.transpose(want, (0, 2, 3, 1))
     np.testing.assert_allclose(c5, want_nhwc, atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# BasicBlock (R18/34) import + differential forward
+# ---------------------------------------------------------------------------
+
+BASIC_STAGES = (1, 1, 1, 1)
+
+
+def _rand_sd_basic(rng):
+    """Random torchvision-format R18-style state_dict for BASIC_STAGES."""
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.normal(1, 0.1, c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = rng.normal(0, 0.1, c).astype(np.float32)
+        sd[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    sd["conv1.weight"] = rng.normal(0, 0.05, (64, 3, 7, 7)).astype(np.float32)
+    bn("bn1", 64)
+    in_c = 64
+    for s, f in enumerate((64, 128, 256, 512)):
+        p = f"layer{s + 1}.0"
+        sd[f"{p}.conv1.weight"] = rng.normal(0, 0.05, (f, in_c, 3, 3)).astype(np.float32)
+        bn(f"{p}.bn1", f)
+        sd[f"{p}.conv2.weight"] = rng.normal(0, 0.05, (f, f, 3, 3)).astype(np.float32)
+        bn(f"{p}.bn2", f)
+        if s > 0:  # no projection on layer1: 64→64 stride 1
+            sd[f"{p}.downsample.0.weight"] = rng.normal(
+                0, 0.05, (f, in_c, 1, 1)).astype(np.float32)
+            bn(f"{p}.downsample.1", f)
+        in_c = f
+    return sd
+
+
+def _torch_forward_basic(sd, x_nchw):
+    """torchvision-exact BasicBlock forward for BASIC_STAGES in raw torch."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    def bn(x, p):
+        return F.batch_norm(x, t[f"{p}.running_mean"], t[f"{p}.running_var"],
+                            t[f"{p}.weight"], t[f"{p}.bias"],
+                            training=False, eps=1e-5)
+
+    x = torch.from_numpy(x_nchw)
+    x = F.conv2d(x, t["conv1.weight"], stride=2, padding=3)
+    x = F.relu(bn(x, "bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    for s in range(4):
+        p = f"layer{s + 1}.0"
+        stride = 1 if s == 0 else 2
+        if s > 0:
+            idn = F.conv2d(x, t[f"{p}.downsample.0.weight"], stride=stride)
+            idn = bn(idn, f"{p}.downsample.1")
+        else:
+            idn = x
+        y = F.relu(bn(F.conv2d(x, t[f"{p}.conv1.weight"], stride=stride,
+                               padding=1), f"{p}.bn1"))
+        y = bn(F.conv2d(y, t[f"{p}.conv2.weight"], padding=1), f"{p}.bn2")
+        x = F.relu(y + idn)
+    return x.numpy()
+
+
+def test_basic_key_map_shape():
+    from detjax.utils.torch_import import _torch_resnet_key_map
+
+    m = _torch_resnet_key_map((2, 2, 2, 2), block="basic")
+    assert "layer1.0.conv2" in m
+    assert "layer1.0.conv3" not in m           # basic: two convs only
+    assert "layer1.0.downsample.0" not in m    # no projection on layer1
+    assert "layer2.0.downsample.0" in m
+    assert "layer2.1.downsample.0" not in m
+
+
+def test_import_basic_and_differential_forward(rng):
+    from detjax.models.resnet import ResNet
+
+    model = ResNet(stage_sizes=BASIC_STAGES, block="basic",
+                   dtype=jnp.float32, frozen_bn=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    sd = _rand_sd_basic(rng)
+    new_p, new_s, report = import_resnet_backbone(
+        {"backbone": variables["params"]},
+        {"backbone": variables["batch_stats"]},
+        sd, stage_sizes=BASIC_STAGES, block="basic")
+    assert not report["missing"]
+    assert not report["unused"]
+
+    x = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    ref_c5 = _torch_forward_basic(sd, x)  # NCHW
+    feats = model.apply(
+        {"params": new_p["backbone"], "batch_stats": new_s["backbone"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    got_c5 = np.transpose(np.asarray(feats[5]), (0, 3, 1, 2))
+    np.testing.assert_allclose(got_c5, ref_c5, rtol=2e-4, atol=2e-4)
