@@ -46,6 +46,20 @@ def evaluate(*args, **kwargs):
     return run_coco_eval(*args, **kwargs)
 
 
+def quantize_model(*args, **kwargs):
+    """Int8 PTQ: calibrate + quantize — see :func:`detjax.quant.quantize_model`."""
+    from detjax.quant import quantize_model as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def detect_int8(*args, **kwargs):
+    """Int8 end-to-end inference — see :func:`detjax.quant.detect_int8`."""
+    from detjax.quant import detect_int8 as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "ModelConfig",
     "TrainConfig",
@@ -59,4 +73,6 @@ __all__ = [
     "make_train_state",
     "fit",
     "evaluate",
+    "quantize_model",
+    "detect_int8",
 ]

@@ -64,10 +64,15 @@ def _gt_provider(dataset) -> Callable[[int], GroundTruth]:
 
 
 def iter_detections(variables, dataset, cfg: Config,
-                    max_images: Optional[int] = None):
+                    max_images: Optional[int] = None,
+                    detect_fn: Optional[Callable] = None):
     """Yield ``(image_id, boxes, scores, labels)`` per image in ORIGINAL
-    image coordinates, running the fused batched detect path."""
-    detect = _detect_fn(cfg)
+    image coordinates, running the fused batched detect path.
+
+    ``detect_fn(variables, images) -> Detections`` overrides the standard
+    path (e.g. the int8 engine: ``lambda _, x: quant.detect_int8(qtree, x,
+    cfg)``)."""
+    detect = detect_fn if detect_fn is not None else _detect_fn(cfg)
     zeros_rng = jax.random.PRNGKey(0)
     n_done = 0
     for batch in make_eval_iterator(dataset, cfg):
@@ -96,7 +101,8 @@ def iter_detections(variables, dataset, cfg: Config,
 
 
 def run_coco_eval(variables, dataset, cfg: Config,
-                  max_images: Optional[int] = None) -> EvalResult:
+                  max_images: Optional[int] = None,
+                  detect_fn: Optional[Callable] = None) -> EvalResult:
     """Run detection over ``dataset`` and compute COCO bbox metrics.
 
     Returns :class:`EvalResult`; ``result["AP"]`` is mAP@[.5:.95].
@@ -104,7 +110,7 @@ def run_coco_eval(variables, dataset, cfg: Config,
     gt_of = _gt_provider(dataset)
     metric = COCOMetric(category_ids=list(range(cfg.model.num_classes)))
     for img_id, boxes, scores, labels in iter_detections(
-            variables, dataset, cfg, max_images):
+            variables, dataset, cfg, max_images, detect_fn=detect_fn):
         metric.add(img_id, gt_of(img_id), boxes, scores, labels)
     return metric.compute()
 

@@ -118,14 +118,59 @@ def gate_ssd():
     print("SSD GATE PASSED")
 
 
+def gate_int8():
+    """Train the quick-gate model, PTQ-quantize it (detjax/quant.py), and
+    assert the int8 engine's AP50 matches the fp path on the trained
+    model — the accuracy side of the int8 inference feature."""
+    import jax.numpy as jnp
+
+    from detjax import quant
+    from detjax.data.pipeline import device_augment, make_eval_iterator
+    from detjax.evaluation.evaluator import run_coco_eval
+
+    cfg = get_config("retinanet_r50_640", **{
+        "model.image_size": (256, 256),
+        "model.num_classes": 6,
+        "model.frozen_backbone_bn": False,
+        "train.batch_size": 8,
+        "train.max_gt": 8,
+        "train.learning_rate": 1e-3,
+        "train.lr_schedule": "constant",
+        "data.hflip_prob": 0.0,
+        "data.random_crop": False,
+        "eval.batch_size": 8,
+    })
+    ds = SyntheticDetectionDataset(num_images=8, image_size=(256, 256),
+                                   num_classes=6, max_objects=3, seed=3)
+    variables = _run(cfg, ds, 1500, "int8-fp-baseline", 0.6)
+    fp = run_coco_eval(variables, ds, cfg)
+
+    # calibrate on the (normalized) eval stream itself
+    batch = next(iter(make_eval_iterator(ds, cfg)))
+    imgs = jnp.asarray(batch["images"])
+    if imgs.dtype == jnp.uint8:
+        imgs, _ = device_augment(
+            imgs, jnp.zeros((imgs.shape[0], 1, 4), jnp.float32),
+            jax.random.PRNGKey(0), hflip_prob=0.0,
+            mean=cfg.data.mean, std=cfg.data.std)
+    qtree = quant.quantize_model(variables, cfg, imgs)
+    q = run_coco_eval(variables, ds, cfg,
+                      detect_fn=lambda _, x: quant.detect_int8(qtree, x, cfg))
+    print("fp  :", {k: round(fp.stats[k], 4) for k in ("AP", "AP50", "AP75")})
+    print("int8:", {k: round(q.stats[k], 4) for k in ("AP", "AP50", "AP75")})
+    assert q.stats["AP50"] > fp.stats["AP50"] - 0.02, (fp.stats, q.stats)
+    assert q.stats["AP"] > fp.stats["AP"] - 0.05, (fp.stats, q.stats)
+    print("INT8 GATE PASSED")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", default="all",
-                    choices=("quick", "hard", "ssd", "all"))
+                    choices=("quick", "hard", "ssd", "int8", "all"))
     args = ap.parse_args()
     gates = {"quick": [gate_quick], "hard": [gate_hard],
-             "ssd": [gate_ssd],
-             "all": [gate_quick, gate_hard, gate_ssd]}[args.gate]
+             "ssd": [gate_ssd], "int8": [gate_int8],
+             "all": [gate_quick, gate_hard, gate_ssd, gate_int8]}[args.gate]
     for g in gates:
         g()
     print("E2E GATE PASSED")

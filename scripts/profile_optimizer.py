@@ -99,7 +99,9 @@ def main():
     module = build_detector(cfg.model)
     anchors = jnp.asarray(anchors_for_shape(cfg.model.image_size,
                                             anchor_config(cfg)))
-    params, stats = state.params, state.batch_stats
+    # the production step donated the original state's buffers — use the
+    # live chained state for the remaining benchmarks
+    params, stats = s.params, s.batch_stats
     t = cfg.train
 
     def full_fb(params, images):

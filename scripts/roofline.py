@@ -31,7 +31,11 @@ MEASURED_MS = {
     "layer4": 3.7,
     "fpn+heads": 29.8,
     "loss": 5.0,  # standalone fwd+bwd (see ROADMAP: differencing artifact)
-    "optimizer+misc": 9.3,  # remainder to the 94.3 ms total
+    # direct: production step 95.5 − model+loss 92.3 (profile_optimizer.py)
+    "optimizer+misc": 3.2,
+    # isolated-jit prefixes lose cross-region fusion; their Δs undercount
+    # by this much vs the real full-step time (see docs/ROOFLINE.md note)
+    "fusion-boundary": 6.1,
 }
 
 
@@ -127,6 +131,7 @@ def main():
 
     # optimizer: adam on 38M fp32 params: read p,m,v,g write p,m,v
     regions["optimizer+misc"] = [38e6 * 20, 38e6 * 4 * 7]
+    regions["fusion-boundary"] = [0, 0]
 
     rows = []
     tot_fl = tot_ms = tot_ideal = 0.0
