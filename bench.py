@@ -107,12 +107,34 @@ def main():
     dt = min(_round(20), _round(20))
     infer_img_s = infer_bs / dt
 
+    # ---- int8 PTQ serving path (detjax/quant.py) ----
+    int8_detail = ""
+    try:
+        from detjax import quant
+
+        qtree = quant.quantize_model(variables, cfg, images)
+
+        def _round_i8(iters):
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                outs.append(quant.detect_int8(qtree, images, cfg).scores)
+            _force(jnp.stack([o[0, 0] for o in outs]).sum())
+            return (time.perf_counter() - t0) / iters
+
+        _round_i8(10)
+        dt8 = min(_round_i8(20), _round_i8(20))
+        int8_detail = f", int8 = {infer_bs / dt8:.1f}"
+    except Exception:
+        pass
+
     n_chips = 1  # single-chip benchmark box
     value = train_img_s / n_chips
     result = {
         "metric": "train images/sec/chip, RetinaNet-R50 640px (bs=16, "
                   "matching+focal+smoothL1+adam); infer images/sec/chip "
-                  f"(bs=8, fused decode+NMS) = {infer_img_s:.1f}",
+                  f"(bs=8, fused decode+NMS) = {infer_img_s:.1f}"
+                  f"{int8_detail}",
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / (ASSUMED_A100_TRAIN_IMG_S * NORTH_STAR_MULT), 3),

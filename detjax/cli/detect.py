@@ -16,6 +16,9 @@ def main():
     ap.add_argument("--ckpt-dir", required=True)
     ap.add_argument("--out-dir", default="detections")
     ap.add_argument("--score-threshold", type=float, default=0.3)
+    ap.add_argument("--int8", action="store_true",
+                    help="serve through the int8 PTQ engine (detjax/quant.py;"
+                         " calibrates on the first input image)")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
     args = ap.parse_args()
@@ -52,6 +55,7 @@ def main():
              else None)
 
     os.makedirs(args.out_dir, exist_ok=True)
+    qtree = None
     for path in args.images:
         img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
         canvas, _, scale = letterbox(img, np.zeros((0, 4), np.float32),
@@ -60,7 +64,14 @@ def main():
                               jnp.zeros((1, 1, 4), jnp.float32),
                               jax.random.PRNGKey(0), hflip_prob=0.0,
                               mean=cfg.data.mean, std=cfg.data.std)
-        det = detect(variables, x, cfg)
+        if args.int8:
+            from detjax import quant
+
+            if qtree is None:
+                qtree = quant.quantize_model(variables, cfg, x)
+            det = quant.detect_int8(qtree, x, cfg)
+        else:
+            det = detect(variables, x, cfg)
         nv = int(det.num_valid[0])
         boxes = np.asarray(det.boxes[0, :nv]) / scale
         out = draw_detections(img, boxes, np.asarray(det.scores[0, :nv]),

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--ckpt-dir", default="")
     ap.add_argument("--log-dir", default="")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also write tf.summary scalars under <log-dir>/tb")
     ap.add_argument("--dp", action="store_true",
                     help="pjit data-parallel over all visible devices")
     ap.add_argument("--import-backbone",
@@ -155,7 +157,8 @@ def main():
             state=state, eval_dataset=eval_ds,
             eval_max_images=args.eval_images,
             checkpoint_dir=args.ckpt_dir or None,
-            log_dir=args.log_dir or None, mesh=mesh)
+            log_dir=args.log_dir or None, mesh=mesh,
+            tensorboard=args.tensorboard)
     print(f"done: step={int(result.state.step)} "
           f"throughput={result.images_per_sec:.1f} img/s")
 

@@ -78,6 +78,7 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     log_dir: Optional[str] = None,
     log_every: int = 50,
+    tensorboard: bool = False,
     lr_plateau_every: int = 500,
     mesh=None,
     resume: bool = True,
@@ -114,7 +115,8 @@ def fit(
     else:
         step_fn = make_train_step(cfg)
 
-    logger = MetricsLogger(log_dir, print_every=log_every)
+    logger = MetricsLogger(log_dir, print_every=log_every,
+                           tensorboard=tensorboard)
     timer = StepTimer(skip=2)
     history = []
     pending: list = []  # device loss scalars; sync deferred until folded

@@ -67,6 +67,30 @@ def test_fit_runs_and_lr_is_adjustable(tmp_path):
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
 
 
+def test_metrics_logger_tensorboard_scalars(tmp_path):
+    """tensorboard=True writes tf.summary event files next to the JSONL
+    (SURVEY.md §5.5: 'optional TensorBoard'); JSONL stays the source of
+    truth either way."""
+    tf = pytest.importorskip("tensorflow")
+    from detjax.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(str(tmp_path), print_every=0, tensorboard=True)
+    logger.log(1, {"loss": 0.5})
+    logger.log(2, {"loss": 0.25})
+    logger.close()
+
+    assert (tmp_path / "metrics.jsonl").exists()
+    events = list((tmp_path / "tb").glob("events.*"))
+    assert events, "tensorboard=True must write event files under <dir>/tb"
+    seen = {}
+    for rec in tf.data.TFRecordDataset(str(events[0])):
+        ev = tf.compat.v1.Event.FromString(rec.numpy())
+        for v in ev.summary.value:
+            if v.tag == "train/loss":
+                seen[ev.step] = tf.make_ndarray(v.tensor).item()
+    assert seen == {1: pytest.approx(0.5), 2: pytest.approx(0.25)}
+
+
 def test_fit_resume_from_checkpoint(tmp_path):
     cfg = _cfg()
     ds = SyntheticDetectionDataset(num_images=8, image_size=(64, 64),
