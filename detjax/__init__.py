@@ -46,6 +46,15 @@ def evaluate(*args, **kwargs):
     return run_coco_eval(*args, **kwargs)
 
 
+def export_detect(*args, **kwargs):
+    """Serving export: fused detect → StableHLO artifact — see
+    :func:`detjax.export.export_detect` (save/load via
+    :func:`detjax.export.save_detect` / :func:`detjax.export.load_detect`)."""
+    from detjax.export import export_detect as _impl
+
+    return _impl(*args, **kwargs)
+
+
 def quantize_model(*args, **kwargs):
     """Int8 PTQ: calibrate + quantize — see :func:`detjax.quant.quantize_model`."""
     from detjax.quant import quantize_model as _impl
@@ -73,6 +82,7 @@ __all__ = [
     "make_train_state",
     "fit",
     "evaluate",
+    "export_detect",
     "quantize_model",
     "detect_int8",
 ]

@@ -2,9 +2,12 @@
 
 The reference saves a whole-module pickle per epoch (``torch.save(model,
 ...)``) and loses optimizer state on resume. Here the ENTIRE training state
-— params, batch_stats, opt_state, step, plus a ``host`` subtree for
-host-side controller state (ReduceLROnPlateau best/num_bad, loss window) —
-is one PyTree saved via Orbax (async, atomic, retention-managed). Resume is
+— params, batch_stats, opt_state, step as one Orbax PyTree item, plus a
+separate JSON ``host`` item for host-side controller state
+(ReduceLROnPlateau best/num_bad, loss window) — is saved via Orbax (async,
+atomic, retention-managed). Keeping ``host`` a separate Composite item
+means device-state-only consumers (detect/eval/export CLIs) restore with a
+host-free template no matter which writer produced the step. Resume is
 bit-exact end-to-end: same optimizer moments, same step counter, same LR
 controller state, and the data stream continues at the same global batch
 (``DetectionIterator.iter_from`` seeks by step; see
@@ -42,15 +45,23 @@ class Checkpointer:
     def save(self, state: TrainState, wait: bool = False,
              host: Optional[dict] = None):
         """``host``: flat dict of host-side scalars (floats/ints) saved
-        alongside the device state (e.g. LR-plateau controller state)."""
+        alongside the device state (e.g. LR-plateau controller state).
+
+        Saved as a SEPARATE Composite item (JSON), not inside the state
+        PyTree — so consumers that only want the device state (detect/eval/
+        export CLIs) restore it with a host-free template regardless of
+        whether the writer tracked host state."""
         import orbax.checkpoint as ocp
 
         step = int(np.asarray(state.step))
         tree = {"step": state.step, "params": state.params,
                 "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+        items = {"state": ocp.args.StandardSave(tree)}
         if host:
-            tree["host"] = {k: np.asarray(v) for k, v in host.items()}
-        self._mgr.save(step, args=ocp.args.StandardSave(tree))
+            items["host"] = ocp.args.JsonSave(
+                {k: (v.item() if hasattr(v, "item") else v)
+                 for k, v in host.items()})
+        self._mgr.save(step, args=ocp.args.Composite(**items))
         if wait:
             self._mgr.wait_until_finished()
 
@@ -74,29 +85,24 @@ class Checkpointer:
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state}
         want_host = host_template is not None
-        if want_host:
-            template["host"] = {k: np.asarray(v)
-                                for k, v in host_template.items()}
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype") else x, template)
-        try:
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(abstract))
-        except Exception:
-            if not want_host:
-                raise
-            # checkpoint without a host subtree (older format): retry bare
-            abstract.pop("host")
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(abstract))
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract)))["state"]
         new_state = state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"], opt_state=restored["opt_state"])
         if not want_host:
             return new_state
-        host = {k: v.item() if hasattr(v, "item") else v
-                for k, v in restored.get("host", dict(host_template)).items()}
+        host = dict(host_template)
+        try:
+            saved = self._mgr.restore(
+                step, args=ocp.args.Composite(host=ocp.args.JsonRestore()))
+            host.update(saved["host"])
+        except Exception:
+            pass  # checkpoint written without host state: template values
         return new_state, host
 
     def wait(self):

@@ -10,6 +10,8 @@ Gates (run on the real chip; --gate quick|hard|ssd|all):
           (VERDICT round-1 weak #2), at the flagship resolution.
   ssd   — the ssd_512 preset actually TRAINS (VERDICT round-1 weak #3):
           overfit @512px with SSD per-level anchors, assert AP50.
+  int8  — PTQ engine AP matches the fp path on the trained model.
+  export— the StableHLO serving artifact's AP matches the live path.
 """
 import argparse
 
@@ -163,14 +165,58 @@ def gate_int8():
     print("INT8 GATE PASSED")
 
 
+def gate_export():
+    """Train the quick-gate model, export the serving artifact
+    (detjax/export.py), and assert the ARTIFACT's AP matches the live
+    detect path — accuracy through the deployment surface."""
+    from detjax.export import load_detect, save_detect
+    import tempfile, os
+
+    cfg = get_config("retinanet_r50_640", **{
+        "model.image_size": (256, 256),
+        "model.num_classes": 6,
+        "model.frozen_backbone_bn": False,
+        "train.batch_size": 8,
+        "train.max_gt": 8,
+        "train.learning_rate": 1e-3,
+        "train.lr_schedule": "constant",
+        "data.hflip_prob": 0.0,
+        "data.random_crop": False,
+        "eval.batch_size": 8,
+    })
+    ds = SyntheticDetectionDataset(num_images=8, image_size=(256, 256),
+                                   num_classes=6, max_objects=3, seed=3)
+    variables = _run(cfg, ds, 1500, "export-fp-baseline", 0.6)
+    fp = run_coco_eval(variables, ds, cfg)
+
+    path = os.path.join(tempfile.mkdtemp(), "detect.stablehlo")
+    save_detect(path, variables, cfg, batch_size=cfg.eval.batch_size)
+    served_fn = load_detect(path)
+    served = run_coco_eval(variables, ds, cfg,
+                           detect_fn=lambda _, x: served_fn(x))
+    print("live  :", {k: round(fp.stats[k], 4) for k in ("AP", "AP50", "AP75")})
+    print("export:", {k: round(served.stats[k], 4)
+                      for k in ("AP", "AP50", "AP75")})
+    # bf16 relowering drift can reorder near-tied junk detections; AP on a
+    # trained model must be unaffected beyond noise
+    assert served.stats["AP50"] > fp.stats["AP50"] - 0.02, (fp.stats,
+                                                            served.stats)
+    assert served.stats["AP"] > fp.stats["AP"] - 0.05, (fp.stats,
+                                                        served.stats)
+    print(f"artifact: {os.path.getsize(path) / 1e6:.1f} MB")
+    print("EXPORT GATE PASSED")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", default="all",
-                    choices=("quick", "hard", "ssd", "int8", "all"))
+                    choices=("quick", "hard", "ssd", "int8", "export", "all"))
     args = ap.parse_args()
     gates = {"quick": [gate_quick], "hard": [gate_hard],
              "ssd": [gate_ssd], "int8": [gate_int8],
-             "all": [gate_quick, gate_hard, gate_ssd, gate_int8]}[args.gate]
+             "export": [gate_export],
+             "all": [gate_quick, gate_hard, gate_ssd, gate_int8,
+                     gate_export]}[args.gate]
     for g in gates:
         g()
     print("E2E GATE PASSED")

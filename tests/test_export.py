@@ -1,0 +1,66 @@
+"""Serving-export tests: the StableHLO artifact round-trips through
+serialize → deserialize and reproduces the live detect() path exactly
+(SURVEY.md §5.4 — deployment artifact parity with the reference's
+torch.save, minus the code dependency)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detjax.config import get_config
+from detjax.export import export_detect, load_detect, save_detect
+from detjax.modeling import build_model, detect
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    # fp32: bf16 convs drift ~1e-2 across compilations (export lowers the
+    # graph separately from the live jit), which would confound the
+    # equality assertions below with recompilation noise.
+    cfg = get_config(
+        "retinanet_r50_640",
+        **{"model.image_size": (64, 64), "model.num_classes": 4,
+           "model.dtype": "float32", "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3))
+    return cfg, variables, images
+
+
+def test_export_matches_live_detect(small_setup):
+    cfg, variables, images = small_setup
+    exp = export_detect(variables, cfg, batch_size=2)
+    out = exp.call(images)
+    ref = detect(variables, images, cfg)
+    np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                  np.asarray(ref.num_valid))
+    np.testing.assert_allclose(np.asarray(out.boxes), np.asarray(ref.boxes),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.labels),
+                                  np.asarray(ref.labels))
+
+
+def test_export_serialize_roundtrip(small_setup, tmp_path):
+    cfg, variables, images = small_setup
+    path = str(tmp_path / "detect.stablehlo")
+    save_detect(path, variables, cfg, batch_size=2)
+    served = load_detect(path)
+    out = served(images)
+    ref = detect(variables, images, cfg)
+    np.testing.assert_allclose(np.asarray(out.scores),
+                               np.asarray(ref.scores), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.labels),
+                                  np.asarray(ref.labels))
+    # artifact is self-contained: nontrivial size (weights baked in)
+    import os
+    assert os.path.getsize(path) > 1_000_000
+
+
+def test_export_rejects_wrong_shape(small_setup):
+    cfg, variables, _ = small_setup
+    exp = export_detect(variables, cfg, batch_size=1)
+    bad = jnp.zeros((3, 64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        exp.call(bad)
