@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Detection serving CLI: checkpoint → micro-batching HTTP service.
+
+    detjax-serve --ckpt-dir /run/ckpt --port 8000 --engine fp
+    curl -s -X POST --data-binary @photo.jpg localhost:8000/detect | jq
+
+See detjax/serve.py for the serving design (static padded batches, one
+compiled graph, fp / int8 / StableHLO-artifact engines).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="retinanet_r50_640_latency")
+    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--engine", default="fp",
+                    help="'fp', 'int8', or a path to a StableHLO artifact "
+                         "from detjax-export (exported at --batch-size)")
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="compiled micro-batch size")
+    ap.add_argument("--max-wait-ms", type=float, default=2.0,
+                    help="request-coalescing window")
+    ap.add_argument("--score-threshold", type=float, default=0.3)
+    ap.add_argument("--set", action="append", dest="overrides",
+                    metavar="group.field=value")
+    args = ap.parse_args()
+
+    import ast
+
+    import jax
+
+    from detjax.config import get_config
+    from detjax.data.coco import COCO_CLASSES
+    from detjax.serve import DetectionServer
+    from detjax.train import make_train_state
+    from detjax.train.checkpoint import Checkpointer
+
+    overrides = {}
+    for p in args.overrides or []:
+        key, _, val = p.partition("=")
+        try:
+            overrides[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            overrides[key] = val
+    cfg = get_config(args.preset, **overrides)
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    state = Checkpointer(args.ckpt_dir).restore(state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    names = (COCO_CLASSES if cfg.model.num_classes == len(COCO_CLASSES)
+             else None)
+
+    server = DetectionServer(
+        variables, cfg, engine=args.engine, batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms, score_threshold=args.score_threshold,
+        class_names=names)
+    print(f"serving {cfg.model.name} ({args.engine}) on "
+          f"http://{args.host}:{args.port}  "
+          f"[batch={args.batch_size}, window={args.max_wait_ms}ms]")
+    try:
+        server.serve(args.host, args.port)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

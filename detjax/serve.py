@@ -1,0 +1,265 @@
+"""Production serving engine: micro-batching detection server.
+
+The reference has no serving story beyond its demo script (SURVEY.md §2
+#19 — per-image `visualize.py`); production-grade serving is part of this
+framework's TPU-native surface. The design is shaped by XLA's compilation
+model:
+
+- **One static batch shape, compiled once.** The fused detect step runs at
+  a fixed ``batch_size``; a micro-batcher coalesces concurrent requests
+  and pads empty slots. No dynamic shapes → no recompiles, ever.
+- **Latency/throughput knob is the coalescing window**, not the graph:
+  the worker drains whatever is queued (up to the batch), so an idle
+  server answers a lone request immediately (padded batch) and a loaded
+  server amortizes the full batch automatically.
+- **Three interchangeable engines** behind one callable interface:
+  the live fp path (`detjax.modeling.detect`), the int8 PTQ engine
+  (`detjax.quant`), or a deserialized StableHLO artifact
+  (`detjax.export.load_detect`).
+- Host work (JPEG decode via the in-repo libjpeg binding with PIL
+  fallback, letterbox) runs in the HTTP threads, which release the GIL in
+  the decoders — device work stays serialized in the single batch worker.
+
+HTTP API (stdlib ThreadingHTTPServer; no extra deps):
+    POST /detect   body = JPEG/PNG bytes → {"detections": [{box, score,
+                   label, class}, ...]} in ORIGINAL image coordinates
+    GET  /healthz  → {"status": "ok", "batch_size": N, ...}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+Detections = "detjax.ops.nms.Detections"
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into fixed-size padded device batches.
+
+    ``run_batch`` is called with a [B, H, W, 3] uint8 canvas batch and must
+    return per-slot results; requests beyond ``batch_size`` wait for the
+    next cycle. Thread-safe; one worker thread owns the device.
+    """
+
+    def __init__(self, run_batch: Callable[[np.ndarray], Sequence],
+                 batch_size: int, canvas_hw, max_wait_ms: float = 2.0):
+        self.run_batch = run_batch
+        self.batch_size = batch_size
+        self.canvas_hw = tuple(canvas_hw)
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, canvas: np.ndarray):
+        """Blocking: enqueue one [H, W, 3] uint8 canvas, wait for its result."""
+        done = threading.Event()
+        slot = {"canvas": canvas, "done": done, "result": None, "error": None}
+        self._q.put(slot)
+        done.wait()
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["result"]
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    def _loop(self):
+        h, w = self.canvas_hw
+        while not self._stop.is_set():
+            first = self._q.get()
+            if first is None:
+                continue
+            slots = [first]
+            # drain whatever else is queued, briefly waiting out the
+            # coalescing window for stragglers
+            while len(slots) < self.batch_size:
+                try:
+                    nxt = self._q.get(timeout=self.max_wait)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                slots.append(nxt)
+            batch = np.zeros((self.batch_size, h, w, 3), np.uint8)
+            for i, s in enumerate(slots):
+                batch[i] = s["canvas"]
+            try:
+                results = self.run_batch(batch)
+                for i, s in enumerate(slots):
+                    s["result"] = results[i]
+            except Exception as e:  # propagate to every waiter in the batch
+                for s in slots:
+                    s["error"] = e
+            for s in slots:
+                s["done"].set()
+
+
+class DetectionServer:
+    """HTTP detection service over a fused detect engine.
+
+    ``engine``: "fp" (live jit), "int8" (PTQ, calibrates on first batch or
+    provided calibration images), or a path to a StableHLO artifact from
+    :func:`detjax.export.save_detect` (exported at ``batch_size``).
+    """
+
+    def __init__(self, variables, cfg, engine: str = "fp",
+                 batch_size: int = 8, max_wait_ms: float = 2.0,
+                 score_threshold: float = 0.3,
+                 calibration: Optional[np.ndarray] = None,
+                 class_names: Optional[Sequence[str]] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from detjax.data.pipeline import device_augment
+
+        self.cfg = cfg
+        self.score_threshold = float(score_threshold)
+        self.class_names = class_names
+        self.engine = engine
+        self._httpd = None
+        h, w = cfg.model.image_size
+
+        rng = jax.random.PRNGKey(0)
+        mean, std = cfg.data.mean, cfg.data.std
+        no_boxes = jnp.zeros((batch_size, 1, 4), jnp.float32)
+
+        def _normalize(canvases_u8):
+            x, _ = device_augment(jnp.asarray(canvases_u8), no_boxes, rng,
+                                  hflip_prob=0.0, mean=mean, std=std)
+            return x
+
+        if engine == "fp":
+            from detjax.modeling import detect
+
+            run = lambda x: detect(variables, x, cfg)
+        elif engine == "int8":
+            from detjax import quant
+
+            if calibration is None:
+                calibration = np.random.default_rng(0).integers(
+                    0, 256, (batch_size, h, w, 3), np.uint8)
+            qtree = quant.quantize_model(variables, cfg,
+                                         _normalize(calibration))
+            run = lambda x: quant.detect_int8(qtree, x, cfg)
+        else:  # path to a serialized StableHLO artifact
+            from detjax.export import load_detect
+
+            run = load_detect(engine)
+
+        def run_batch(canvases_u8: np.ndarray):
+            det = run(_normalize(canvases_u8))
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            labels = np.asarray(det.labels)
+            nv = np.asarray(det.num_valid)
+            return [(boxes[i], scores[i], labels[i], int(nv[i]))
+                    for i in range(canvases_u8.shape[0])]
+
+        self.batcher = MicroBatcher(run_batch, batch_size, (h, w),
+                                    max_wait_ms)
+
+    # ---- request path (runs in HTTP handler threads) ----
+
+    def detect_bytes(self, data: bytes) -> List[dict]:
+        """Image bytes → list of detection dicts in original coordinates."""
+        from detjax.data.transforms import letterbox
+
+        img = self._decode(data)
+        canvas, _, scale = letterbox(img, np.zeros((0, 4), np.float32),
+                                     self.cfg.model.image_size)
+        boxes, scores, labels, nv = self.batcher.submit(canvas)
+        out = []
+        for i in range(nv):
+            if scores[i] < self.score_threshold:
+                continue
+            b = (boxes[i] / scale).tolist()
+            rec = {"box": [round(v, 2) for v in b],
+                   "score": round(float(scores[i]), 4),
+                   "label": int(labels[i])}
+            if self.class_names and 0 <= labels[i] < len(self.class_names):
+                rec["class"] = self.class_names[int(labels[i])]
+            out.append(rec)
+        return out
+
+    @staticmethod
+    def _decode(data: bytes) -> np.ndarray:
+        from detjax import native
+
+        img = native.decode_jpeg(data)  # releases the GIL; None on non-JPEG
+        if img is None:
+            from PIL import Image
+
+            img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                             np.uint8)
+        return img
+
+    # ---- HTTP front ----
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000,
+              ready: Optional[threading.Event] = None):
+        """Run the HTTP server (blocking). ``ready`` is set once bound."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {
+                        "status": "ok", "engine": outer.engine,
+                        "batch_size": outer.batcher.batch_size,
+                        "image_size": list(outer.cfg.model.image_size)})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/detect":
+                    self._json(404, {"error": "not found"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    self._json(400, {"error": "empty body"})
+                    return
+                try:
+                    dets = outer.detect_bytes(self.rfile.read(n))
+                    self._json(200, {"detections": dets})
+                except Exception as e:
+                    self._json(500, {"error": repr(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if ready is not None:
+            ready.set()
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self._httpd.server_close()
+
+    @property
+    def port(self) -> Optional[int]:
+        return self._httpd.server_address[1] if self._httpd else None
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+        self.batcher.close()

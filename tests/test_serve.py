@@ -1,0 +1,139 @@
+"""Serving-engine tests: micro-batcher coalescing/padding semantics and a
+full HTTP round-trip through the fused detect path (detjax/serve.py —
+production serving is a framework surface the reference lacks; SURVEY.md
+§2 #19 covers only a per-image demo script)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from detjax.config import get_config
+from detjax.modeling import build_model
+from detjax.serve import DetectionServer, MicroBatcher
+
+
+def test_microbatcher_pads_and_coalesces():
+    seen = []
+
+    def run_batch(batch):
+        seen.append(batch.copy())
+        # per-slot result: the slot's mean pixel value
+        return [float(batch[i].mean()) for i in range(batch.shape[0])]
+
+    mb = MicroBatcher(run_batch, batch_size=4, canvas_hw=(8, 8),
+                      max_wait_ms=50.0)
+    canvases = [np.full((8, 8, 3), v, np.uint8) for v in (10, 20, 30)]
+    results = [None] * 3
+
+    def submit(i):
+        results[i] = mb.submit(canvases[i])
+
+    threads = [threading.Thread(target=submit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.close()
+
+    assert sorted(results) == [10.0, 20.0, 30.0]
+    # 3 concurrent requests coalesced into ≤3 device batches, all padded
+    # to the static batch shape
+    assert all(b.shape == (4, 8, 8, 3) for b in seen)
+    assert sum((b.mean(axis=(1, 2, 3)) > 0).sum() for b in seen) == 3
+
+
+def test_microbatcher_propagates_errors():
+    def run_batch(batch):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(run_batch, batch_size=2, canvas_hw=(4, 4))
+    with pytest.raises(RuntimeError, match="boom"):
+        mb.submit(np.zeros((4, 4, 3), np.uint8))
+    mb.close()
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = get_config(
+        "retinanet_r50_640",
+        **{"model.image_size": (64, 64), "model.num_classes": 4,
+           "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    srv = DetectionServer(variables, cfg, engine="fp", batch_size=2,
+                          max_wait_ms=1.0, score_threshold=0.0,
+                          class_names=("a", "b", "c", "d"))
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=("127.0.0.1", 0, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(10)
+    yield srv
+    srv.shutdown()
+    t.join(timeout=5)
+
+
+def _jpeg_bytes(h=90, w=120, seed=0) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def test_http_healthz(server):
+    url = f"http://127.0.0.1:{server.port}/healthz"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        obj = json.loads(r.read())
+    assert obj["status"] == "ok"
+    assert obj["batch_size"] == 2 and obj["image_size"] == [64, 64]
+
+
+def test_http_detect_roundtrip(server):
+    url = f"http://127.0.0.1:{server.port}/detect"
+    req = urllib.request.Request(url, data=_jpeg_bytes(),
+                                 headers={"Content-Type": "image/jpeg"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        obj = json.loads(r.read())
+    dets = obj["detections"]
+    assert isinstance(dets, list)
+    for d in dets:
+        assert set(d) == {"box", "score", "label", "class"}
+        x0, y0, x1, y1 = d["box"]
+        # boxes come back in ORIGINAL (pre-letterbox) image coordinates
+        assert -1 <= x0 <= x1 <= 121 and -1 <= y0 <= y1 <= 121
+        assert d["class"] in ("a", "b", "c", "d")
+
+
+def test_http_detect_concurrent(server):
+    url = f"http://127.0.0.1:{server.port}/detect"
+    outs = [None] * 4
+
+    def hit(i):
+        req = urllib.request.Request(url, data=_jpeg_bytes(seed=i))
+        with urllib.request.urlopen(req, timeout=120) as r:
+            outs[i] = json.loads(r.read())
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(o is not None and "detections" in o for o in outs)
+
+
+def test_http_bad_requests(server):
+    base = f"http://127.0.0.1:{server.port}"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/nope", timeout=30)
+    assert e.value.code == 404
+    req = urllib.request.Request(f"{base}/detect", data=b"")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
