@@ -128,6 +128,33 @@ def test_http_detect_concurrent(server):
     assert all(o is not None and "detections" in o for o in outs)
 
 
+def test_engine_variants_agree(tmp_path):
+    """All three engines (fp / int8 / StableHLO artifact) serve through the
+    same MicroBatcher interface and agree on the detection count for the
+    same input (scores differ by quantization/relowering noise only)."""
+    from detjax.export import save_detect
+
+    cfg = get_config(
+        "retinanet_r50_640",
+        **{"model.image_size": (64, 64), "model.num_classes": 4,
+           "model.dtype": "float32", "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    path = str(tmp_path / "detect.stablehlo")
+    save_detect(path, variables, cfg, batch_size=2)
+
+    canvas = np.random.default_rng(5).integers(0, 256, (64, 64, 3), np.uint8)
+    counts = {}
+    for engine in ("fp", "int8", path):
+        srv = DetectionServer(variables, cfg, engine=engine, batch_size=2,
+                              score_threshold=0.0)
+        boxes, scores, labels, nv = srv.batcher.submit(canvas)
+        counts[engine] = nv
+        assert boxes.shape == (10, 4) and nv >= 0
+        srv.batcher.close()
+    assert counts["fp"] == counts[path]  # same graph, relowered
+
+
 def test_http_bad_requests(server):
     base = f"http://127.0.0.1:{server.port}"
     with pytest.raises(urllib.error.HTTPError) as e:
