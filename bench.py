@@ -16,6 +16,7 @@ so vs_baseline = value / (4 × 75): ≥1.0 means the north-star target is met.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 ASSUMED_A100_TRAIN_IMG_S = 75.0
@@ -125,8 +126,10 @@ def main():
         _round_i8(10)
         dt8 = min(_round_i8(20), _round_i8(20))
         int8_detail = f", int8 = {infer_bs / dt8:.1f}"
-    except Exception:
-        pass
+    except Exception as e:
+        # never break the headline line, but a broken int8 path must be
+        # visible, not indistinguishable from "not measured"
+        print(f"[bench] int8 path failed: {e!r}", file=sys.stderr)
 
     n_chips = 1  # single-chip benchmark box
     value = train_img_s / n_chips

@@ -29,28 +29,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from detjax.config import get_config
+    from detjax.cli.common import load_variables, parse_overrides
     from detjax.data.coco import COCO_CLASSES
     from detjax.data.pipeline import device_augment
     from detjax.data.transforms import letterbox
     from detjax.modeling import detect
-    from detjax.train import make_train_state
-    from detjax.train.checkpoint import Checkpointer
     from detjax.utils.visualize import draw_detections
 
-    import ast
-
-    overrides = {}
-    for p in args.overrides or []:
-        key, _, val = p.partition("=")
-        try:
-            overrides[key] = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            overrides[key] = val
-    cfg = get_config(args.preset, **overrides)
-    state = make_train_state(cfg, jax.random.PRNGKey(0))
-    state = Checkpointer(args.ckpt_dir).restore(state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg, variables = load_variables(args.preset, args.ckpt_dir,
+                                    parse_overrides(args.overrides))
     names = (COCO_CLASSES if cfg.model.num_classes == len(COCO_CLASSES)
              else None)
 

@@ -6,7 +6,6 @@ val set, print the 12 standard COCO bbox stats."""
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main():
@@ -24,28 +23,13 @@ def main():
     ap.add_argument("--set", action="append", dest="overrides")
     args = ap.parse_args()
 
-    import jax
-
-    from detjax.config import get_config
+    from detjax.cli.common import load_variables, parse_overrides
     from detjax.data import CocoDataset, CSVDataset, SyntheticDetectionDataset
     from detjax.evaluation import run_coco_eval
     from detjax.evaluation.evaluator import run_voc_eval
-    from detjax.train import make_train_state
-    from detjax.train.checkpoint import Checkpointer
 
-    import ast
-
-    def parse_overrides(pairs):
-        out = {}
-        for p in pairs or []:
-            key, _, val = p.partition("=")
-            try:
-                out[key] = ast.literal_eval(val)
-            except (ValueError, SyntaxError):
-                out[key] = val
-        return out
-
-    cfg = get_config(args.preset, **parse_overrides(args.overrides))
+    cfg, variables = load_variables(args.preset, args.ckpt_dir,
+                                    parse_overrides(args.overrides))
     if args.synthetic:
         ds = SyntheticDetectionDataset(
             num_images=32, image_size=cfg.model.image_size,
@@ -54,10 +38,6 @@ def main():
         ds = CSVDataset(args.csv, args.class_map, image_dir=args.images)
     else:
         ds = CocoDataset(args.ann, args.images)
-
-    state = make_train_state(cfg, jax.random.PRNGKey(0))
-    state = Checkpointer(args.ckpt_dir).restore(state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.voc:
         res = run_voc_eval(variables, ds, cfg, max_images=args.max_images)
         for k, v in res.items():

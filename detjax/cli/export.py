@@ -28,28 +28,16 @@ def main():
                     metavar="group.field=value")
     args = ap.parse_args()
 
-    import ast
     import os
 
     import jax
     import numpy as np
 
-    from detjax.config import get_config
+    from detjax.cli.common import load_variables, parse_overrides
     from detjax.export import load_detect, save_detect
-    from detjax.train import make_train_state
-    from detjax.train.checkpoint import Checkpointer
 
-    overrides = {}
-    for p in args.overrides or []:
-        key, _, val = p.partition("=")
-        try:
-            overrides[key] = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            overrides[key] = val
-    cfg = get_config(args.preset, **overrides)
-    state = make_train_state(cfg, jax.random.PRNGKey(0))
-    state = Checkpointer(args.ckpt_dir).restore(state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg, variables = load_variables(args.preset, args.ckpt_dir,
+                                    parse_overrides(args.overrides))
 
     platforms = tuple(p for p in args.platforms.split(",") if p) or None
     save_detect(args.out, variables, cfg, batch_size=args.batch_size,
@@ -67,15 +55,22 @@ def main():
         live = detect(variables, images, cfg)
         # The artifact is lowered separately from the live jit, so bf16
         # conv drift (~1e-2 in scores) can swap the RANK of near-tied
-        # detections — compare the score distribution, not positions.
-        s_srv = np.sort(np.asarray(served.scores), axis=-1)
-        s_live = np.sort(np.asarray(live.scores), axis=-1)
-        ok = (np.array_equal(np.asarray(served.num_valid),
-                             np.asarray(live.num_valid))
-              and np.allclose(s_srv, s_live, atol=2e-2))
-        print(f"selftest: num_valid match + score distribution within "
-              f"bf16 drift → {'OK' if ok else 'MISMATCH'} "
-              f"(max score delta {np.abs(s_srv - s_live).max():.2e})")
+        # detections and push a score across the eval threshold — compare
+        # the shared top of the score distribution, tolerate ±1 count.
+        nv_s = np.asarray(served.num_valid).reshape(-1)
+        nv_l = np.asarray(live.num_valid).reshape(-1)
+        sc_s = np.sort(np.asarray(served.scores).reshape(len(nv_s), -1))
+        sc_l = np.sort(np.asarray(live.scores).reshape(len(nv_l), -1))
+        max_delta, ok = 0.0, True
+        for i in range(len(nv_s)):
+            k = int(min(nv_s[i], nv_l[i]))
+            d = 0.0 if k == 0 else float(
+                np.abs(sc_s[i, -k:] - sc_l[i, -k:]).max())
+            max_delta = max(max_delta, d)
+            ok = ok and abs(int(nv_s[i]) - int(nv_l[i])) <= 1 and d < 2e-2
+        print(f"selftest: counts within ±1 + shared score distribution "
+              f"within bf16 drift → {'OK' if ok else 'MISMATCH'} "
+              f"(max score delta {max_delta:.2e})")
         if not ok:
             raise SystemExit(1)
 

@@ -31,27 +31,12 @@ def main():
                     metavar="group.field=value")
     args = ap.parse_args()
 
-    import ast
-
-    import jax
-
-    from detjax.config import get_config
+    from detjax.cli.common import load_variables, parse_overrides
     from detjax.data.coco import COCO_CLASSES
     from detjax.serve import DetectionServer
-    from detjax.train import make_train_state
-    from detjax.train.checkpoint import Checkpointer
 
-    overrides = {}
-    for p in args.overrides or []:
-        key, _, val = p.partition("=")
-        try:
-            overrides[key] = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            overrides[key] = val
-    cfg = get_config(args.preset, **overrides)
-    state = make_train_state(cfg, jax.random.PRNGKey(0))
-    state = Checkpointer(args.ckpt_dir).restore(state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg, variables = load_variables(args.preset, args.ckpt_dir,
+                                    parse_overrides(args.overrides))
     names = (COCO_CLASSES if cfg.model.num_classes == len(COCO_CLASSES)
              else None)
 

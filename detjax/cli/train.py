@@ -18,19 +18,9 @@ Any config field is overridable: --set train.learning_rate=1e-4
 from __future__ import annotations
 
 import argparse
-import ast
 import os
 
-
-def parse_overrides(pairs):
-    out = {}
-    for p in pairs or []:
-        key, _, val = p.partition("=")
-        try:
-            out[key] = ast.literal_eval(val)
-        except (ValueError, SyntaxError):
-            out[key] = val
-    return out
+from detjax.cli.common import parse_overrides
 
 
 def main():

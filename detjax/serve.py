@@ -36,8 +36,6 @@ from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-Detections = "detjax.ops.nms.Detections"
-
 
 class MicroBatcher:
     """Coalesce concurrent requests into fixed-size padded device batches.
@@ -60,6 +58,13 @@ class MicroBatcher:
 
     def submit(self, canvas: np.ndarray):
         """Blocking: enqueue one [H, W, 3] uint8 canvas, wait for its result."""
+        # fail fast in the CALLER's thread — a bad canvas must never reach
+        # the worker, where an exception would wedge every in-flight request
+        expect = (*self.canvas_hw, 3)
+        if canvas.shape != expect or canvas.dtype != np.uint8:
+            raise ValueError(
+                f"canvas must be uint8 {expect}, got "
+                f"{canvas.dtype} {canvas.shape}")
         done = threading.Event()
         slot = {"canvas": canvas, "done": done, "result": None, "error": None}
         self._q.put(slot)
@@ -90,18 +95,20 @@ class MicroBatcher:
                 if nxt is None:
                     break
                 slots.append(nxt)
-            batch = np.zeros((self.batch_size, h, w, 3), np.uint8)
-            for i, s in enumerate(slots):
-                batch[i] = s["canvas"]
-            try:
+            try:  # NOTHING outside this try: an escaped exception would
+                # kill the worker thread and hang every future submit()
+                batch = np.zeros((self.batch_size, h, w, 3), np.uint8)
+                for i, s in enumerate(slots):
+                    batch[i] = s["canvas"]
                 results = self.run_batch(batch)
                 for i, s in enumerate(slots):
                     s["result"] = results[i]
             except Exception as e:  # propagate to every waiter in the batch
                 for s in slots:
                     s["error"] = e
-            for s in slots:
-                s["done"].set()
+            finally:
+                for s in slots:
+                    s["done"].set()
 
 
 class DetectionServer:
@@ -131,10 +138,11 @@ class DetectionServer:
 
         rng = jax.random.PRNGKey(0)
         mean, std = cfg.data.mean, cfg.data.std
-        no_boxes = jnp.zeros((batch_size, 1, 4), jnp.float32)
 
         def _normalize(canvases_u8):
-            x, _ = device_augment(jnp.asarray(canvases_u8), no_boxes, rng,
+            x = jnp.asarray(canvases_u8)
+            boxes = jnp.zeros((x.shape[0], 1, 4), jnp.float32)
+            x, _ = device_augment(x, boxes, rng,
                                   hflip_prob=0.0, mean=mean, std=std)
             return x
 
@@ -145,12 +153,23 @@ class DetectionServer:
         elif engine == "int8":
             from detjax import quant
 
-            if calibration is None:
-                calibration = np.random.default_rng(0).integers(
-                    0, 256, (batch_size, h, w, 3), np.uint8)
-            qtree = quant.quantize_model(variables, cfg,
-                                         _normalize(calibration))
-            run = lambda x: quant.detect_int8(qtree, x, cfg)
+            qstate = {}
+            if calibration is not None:
+                calibration = np.asarray(calibration, np.uint8)
+                if calibration.shape[1:] != (h, w, 3):
+                    raise ValueError(
+                        f"calibration must be [N, {h}, {w}, 3] uint8 "
+                        f"canvases, got {calibration.shape}")
+                qstate["qtree"] = quant.quantize_model(
+                    variables, cfg, _normalize(calibration))
+
+            def run(x):
+                # no calibration images given: calibrate activation ranges
+                # on the FIRST real request batch (padded slots are
+                # constants and cannot inflate the max-abs ranges)
+                if "qtree" not in qstate:
+                    qstate["qtree"] = quant.quantize_model(variables, cfg, x)
+                return quant.detect_int8(qstate["qtree"], x, cfg)
         else:  # path to a serialized StableHLO artifact
             from detjax.export import load_detect
 

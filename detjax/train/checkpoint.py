@@ -88,9 +88,14 @@ class Checkpointer:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype") else x, template)
-        restored = self._mgr.restore(
-            step, args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract)))["state"]
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract)))["state"]
+        except Exception:
+            # legacy layout (pre-Composite): one 'default' item holding the
+            # state tree, possibly with an inline 'host' subtree
+            restored = self._restore_legacy(step, abstract, host_template)
         new_state = state.replace(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"], opt_state=restored["opt_state"])
@@ -102,8 +107,35 @@ class Checkpointer:
                 step, args=ocp.args.Composite(host=ocp.args.JsonRestore()))
             host.update(saved["host"])
         except Exception:
-            pass  # checkpoint written without host state: template values
+            # no JSON host item: legacy inline subtree or no host at all
+            host.update(getattr(self, "_legacy_host", None) or {})
+        self._legacy_host = None
         return new_state, host
+
+    def _restore_legacy(self, step, abstract, host_template):
+        """Read a pre-Composite checkpoint ('default' item = state tree,
+        host scalars inline under 'host'). Sets ``_legacy_host`` for the
+        host-template path."""
+        import orbax.checkpoint as ocp
+
+        self._legacy_host = None
+        if host_template is not None:
+            with_host = dict(abstract)
+            with_host["host"] = {
+                k: jax.ShapeDtypeStruct(np.shape(np.asarray(v)),
+                                        np.asarray(v).dtype)
+                for k, v in host_template.items()}
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(with_host))
+                self._legacy_host = {
+                    k: v.item() if hasattr(v, "item") else v
+                    for k, v in restored.pop("host").items()}
+                return restored
+            except Exception:
+                pass  # legacy checkpoint without inline host state
+        return self._mgr.restore(step,
+                                 args=ocp.args.StandardRestore(abstract))
 
     def wait(self):
         self._mgr.wait_until_finished()

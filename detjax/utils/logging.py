@@ -41,6 +41,9 @@ class MetricsLogger:
         self.stream = stream if stream is not None else sys.stdout
         self._fh = None
         self._tb = None
+        if tensorboard and not log_dir:
+            print("[logging] tensorboard requested but no log_dir set; "
+                  "nothing will be written", file=self.stream)
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._fh = open(os.path.join(log_dir, "metrics.jsonl"), "a",

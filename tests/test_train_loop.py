@@ -215,3 +215,48 @@ def test_checkpoint_restore_detect_bitexact(tmp_path):
     np.testing.assert_array_equal(np.asarray(d1.boxes), np.asarray(d2.boxes))
     np.testing.assert_array_equal(np.asarray(d1.scores), np.asarray(d2.scores))
     np.testing.assert_array_equal(np.asarray(d1.labels), np.asarray(d2.labels))
+
+
+def test_checkpoint_legacy_format_restore(tmp_path):
+    """Checkpoints written by the pre-Composite layout (one 'default'
+    StandardSave item, host scalars inline under 'host') must still
+    restore through both the bare and host-template paths."""
+    import orbax.checkpoint as ocp
+
+    from detjax.train.checkpoint import Checkpointer
+
+    cfg = _cfg()
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    tree = {"step": state.step, "params": state.params,
+            "batch_stats": state.batch_stats, "opt_state": state.opt_state,
+            "host": {"plateau_best": np.asarray(1.5),
+                     "plateau_num_bad": np.asarray(2)}}
+    mgr = ocp.CheckpointManager(
+        str(tmp_path), options=ocp.CheckpointManagerOptions(create=True))
+    mgr.save(0, args=ocp.args.StandardSave(tree))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    restored, host = Checkpointer(str(tmp_path)).restore(
+        state, host_template={"plateau_best": 0.0, "plateau_num_bad": 0})
+    assert host == {"plateau_best": 1.5, "plateau_num_bad": 2}
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # legacy tree WITHOUT inline host: bare template + host fallback
+    mgr2 = ocp.CheckpointManager(
+        str(tmp_path / "nohost"),
+        options=ocp.CheckpointManagerOptions(create=True))
+    bare = {k: tree[k] for k in ("step", "params", "batch_stats",
+                                 "opt_state")}
+    mgr2.save(0, args=ocp.args.StandardSave(bare))
+    mgr2.wait_until_finished()
+    mgr2.close()
+    r2 = Checkpointer(str(tmp_path / "nohost")).restore(state)
+    for a, b in zip(jax.tree.leaves(r2.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _, host2 = Checkpointer(str(tmp_path / "nohost")).restore(
+        state, host_template={"plateau_best": 0.25})
+    assert host2 == {"plateau_best": 0.25}
