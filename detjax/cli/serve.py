@@ -44,6 +44,18 @@ def main():
         variables, cfg, engine=args.engine, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, score_threshold=args.score_threshold,
         class_names=names)
+
+    import signal
+    import threading
+
+    def _terminate(signum, frame):
+        # SIGTERM (orchestrator stop): finish in-flight batches, then exit.
+        # shutdown() must not run on this (signal) frame — serve_forever's
+        # shutdown handshake deadlocks if called from the serving thread.
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _terminate)
+
     print(f"serving {cfg.model.name} ({args.engine}) on "
           f"http://{args.host}:{args.port}  "
           f"[batch={args.batch_size}, window={args.max_wait_ms}ms]")

@@ -37,6 +37,10 @@ from typing import Callable, List, Optional, Sequence
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """Admission queue full — shed load instead of queueing unboundedly."""
+
+
 class MicroBatcher:
     """Coalesce concurrent requests into fixed-size padded device batches.
 
@@ -46,18 +50,29 @@ class MicroBatcher:
     """
 
     def __init__(self, run_batch: Callable[[np.ndarray], Sequence],
-                 batch_size: int, canvas_hw, max_wait_ms: float = 2.0):
+                 batch_size: int, canvas_hw, max_wait_ms: float = 2.0,
+                 max_queue_batches: int = 8):
         self.run_batch = run_batch
         self.batch_size = batch_size
         self.canvas_hw = tuple(canvas_hw)
         self.max_wait = max_wait_ms / 1e3
-        self._q: "queue.Queue" = queue.Queue()
+        # bounded admission: past ``max_queue_batches`` worth of waiting
+        # requests, reject instead of letting latency grow without bound
+        self._q: "queue.Queue" = queue.Queue(
+            maxsize=max(1, max_queue_batches) * batch_size)
         self._stop = threading.Event()
+        self._counter_lock = threading.Lock()
+        self.submitted = 0
+        self.completed = 0  # worker-thread only
+        self.rejected = 0
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     def submit(self, canvas: np.ndarray):
-        """Blocking: enqueue one [H, W, 3] uint8 canvas, wait for its result."""
+        """Blocking: enqueue one [H, W, 3] uint8 canvas, wait for its result.
+
+        Raises :class:`Overloaded` immediately when the admission queue is
+        full — callers (the HTTP front) map this to 503."""
         # fail fast in the CALLER's thread — a bad canvas must never reach
         # the worker, where an exception would wedge every in-flight request
         expect = (*self.canvas_hw, 3)
@@ -67,7 +82,15 @@ class MicroBatcher:
                 f"{canvas.dtype} {canvas.shape}")
         done = threading.Event()
         slot = {"canvas": canvas, "done": done, "result": None, "error": None}
-        self._q.put(slot)
+        try:
+            self._q.put_nowait(slot)
+        except queue.Full:
+            with self._counter_lock:
+                self.rejected += 1
+            raise Overloaded(
+                f"admission queue full ({self._q.maxsize} waiting)")
+        with self._counter_lock:
+            self.submitted += 1
         done.wait()
         if slot["error"] is not None:
             raise slot["error"]
@@ -107,6 +130,7 @@ class MicroBatcher:
                 for s in slots:
                     s["error"] = e
             finally:
+                self.completed += len(slots)
                 for s in slots:
                     s["done"].set()
 
@@ -123,7 +147,8 @@ class DetectionServer:
                  batch_size: int = 8, max_wait_ms: float = 2.0,
                  score_threshold: float = 0.3,
                  calibration: Optional[np.ndarray] = None,
-                 class_names: Optional[Sequence[str]] = None):
+                 class_names: Optional[Sequence[str]] = None,
+                 max_queue_batches: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -185,7 +210,8 @@ class DetectionServer:
                     for i in range(canvases_u8.shape[0])]
 
         self.batcher = MicroBatcher(run_batch, batch_size, (h, w),
-                                    max_wait_ms)
+                                    max_wait_ms,
+                                    max_queue_batches=max_queue_batches)
 
     # ---- request path (runs in HTTP handler threads) ----
 
@@ -245,10 +271,13 @@ class DetectionServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
+                    b = outer.batcher
                     self._json(200, {
                         "status": "ok", "engine": outer.engine,
-                        "batch_size": outer.batcher.batch_size,
-                        "image_size": list(outer.cfg.model.image_size)})
+                        "batch_size": b.batch_size,
+                        "image_size": list(outer.cfg.model.image_size),
+                        "submitted": b.submitted, "completed": b.completed,
+                        "rejected": b.rejected})
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -263,6 +292,8 @@ class DetectionServer:
                 try:
                     dets = outer.detect_bytes(self.rfile.read(n))
                     self._json(200, {"detections": dets})
+                except Overloaded as e:
+                    self._json(503, {"error": str(e), "retry": True})
                 except Exception as e:
                     self._json(500, {"error": repr(e)})
 

@@ -6,6 +6,7 @@ production serving is a framework surface the reference lacks; SURVEY.md
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -44,6 +45,47 @@ def test_microbatcher_pads_and_coalesces():
     # to the static batch shape
     assert all(b.shape == (4, 8, 8, 3) for b in seen)
     assert sum((b.mean(axis=(1, 2, 3)) > 0).sum() for b in seen) == 3
+
+
+def test_microbatcher_sheds_load_when_full():
+    """A full admission queue rejects immediately (Overloaded → HTTP 503)
+    instead of queueing unboundedly."""
+    from detjax.serve import Overloaded
+
+    release = threading.Event()
+
+    def run_batch(batch):
+        release.wait(10)
+        return [0.0] * batch.shape[0]
+
+    mb = MicroBatcher(run_batch, batch_size=1, canvas_hw=(4, 4),
+                      max_wait_ms=1.0, max_queue_batches=1)
+    canvas = np.zeros((4, 4, 3), np.uint8)
+    # one in-flight (worker blocked) + one queued → queue full
+    t1 = threading.Thread(target=mb.submit, args=(canvas,))
+    t1.start()
+    time.sleep(0.2)  # let the worker take the first request
+    t2 = threading.Thread(target=mb.submit, args=(canvas,))
+    t2.start()
+    time.sleep(0.2)
+    with pytest.raises(Overloaded):
+        mb.submit(canvas)
+    assert mb.rejected == 1
+    release.set()
+    t1.join(5)
+    t2.join(5)
+    assert mb.completed == 2
+    mb.close()
+
+
+def test_microbatcher_rejects_bad_canvas_without_wedging():
+    mb = MicroBatcher(lambda b: [0.0] * b.shape[0], batch_size=2,
+                      canvas_hw=(4, 4))
+    with pytest.raises(ValueError, match="canvas must be uint8"):
+        mb.submit(np.zeros((5, 4, 3), np.uint8))
+    # worker is still alive and serving
+    assert mb.submit(np.zeros((4, 4, 3), np.uint8)) == 0.0
+    mb.close()
 
 
 def test_microbatcher_propagates_errors():
@@ -93,6 +135,8 @@ def test_http_healthz(server):
         obj = json.loads(r.read())
     assert obj["status"] == "ok"
     assert obj["batch_size"] == 2 and obj["image_size"] == [64, 64]
+    for counter in ("submitted", "completed", "rejected"):
+        assert isinstance(obj[counter], int)
 
 
 def test_http_detect_roundtrip(server):
