@@ -24,6 +24,9 @@ def main():
                          "current backend), e.g. 'tpu,cpu'")
     ap.add_argument("--selftest", action="store_true",
                     help="reload the artifact and diff vs live detect()")
+    ap.add_argument("--int8-calibrate", nargs="+", metavar="IMAGE",
+                    help="PTQ-quantize on these image files and export the "
+                         "INT8 engine's graph instead of the fp one")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
     args = ap.parse_args()
@@ -39,9 +42,30 @@ def main():
     cfg, variables = load_variables(args.preset, args.ckpt_dir,
                                     parse_overrides(args.overrides))
 
+    calibration = None
+    if args.int8_calibrate:
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from detjax.data.pipeline import device_augment
+        from detjax.data.transforms import letterbox
+
+        canvases = []
+        for p in args.int8_calibrate:
+            img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+            canvas, _, _ = letterbox(img, np.zeros((0, 4), np.float32),
+                                     cfg.model.image_size)
+            canvases.append(canvas)
+        calibration, _ = device_augment(
+            jnp.asarray(np.stack(canvases)),
+            jnp.zeros((len(canvases), 1, 4), jnp.float32),
+            jax.random.PRNGKey(0), hflip_prob=0.0,
+            mean=cfg.data.mean, std=cfg.data.std)
+        print(f"int8 PTQ calibrated on {len(canvases)} image(s)")
+
     platforms = tuple(p for p in args.platforms.split(",") if p) or None
     save_detect(args.out, variables, cfg, batch_size=args.batch_size,
-                platforms=platforms)
+                platforms=platforms, calibration=calibration)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB, "
           f"batch={args.batch_size}, image={cfg.model.image_size})")
 
@@ -52,7 +76,15 @@ def main():
         images = jax.random.uniform(
             jax.random.PRNGKey(1), (args.batch_size, h, w, 3))
         served = load_detect(args.out)(images)
-        live = detect(variables, images, cfg)
+        if calibration is not None:
+            # compare against the live int8 engine (quantization is
+            # deterministic given the same calibration batch)
+            from detjax import quant
+
+            qtree = quant.quantize_model(variables, cfg, calibration)
+            live = quant.detect_int8(qtree, images, cfg)
+        else:
+            live = detect(variables, images, cfg)
         # The artifact is lowered separately from the live jit, so bf16
         # conv drift (~1e-2 in scores) can swap the RANK of near-tied
         # detections and push a score across the eval threshold — compare

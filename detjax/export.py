@@ -35,9 +35,15 @@ def export_detect(
     cfg: Config | str = "retinanet_r50_640",
     batch_size: int = 1,
     platforms: Optional[Sequence[str]] = None,
+    calibration=None,
     **overrides,
 ) -> "jax.export.Exported":
     """Export the fused detect step with ``variables`` baked in.
+
+    With ``calibration`` (a normalized [N,H,W,3] image batch), the model is
+    first PTQ-quantized (detjax/quant.py) and the INT8 engine's graph is
+    exported instead — int8 weights and activation scales baked in — for
+    the 2x-int8-MXU serving path.
 
     ``platforms=None`` lowers for the current default backend. Pass e.g.
     ``("tpu",)`` explicitly to cross-lower from a CPU host; note the Pallas
@@ -45,10 +51,17 @@ def export_detect(
     lowered artifact uses the (bit-identical) lax NMS path.
     """
     cfg = cfg if isinstance(cfg, Config) else get_config(cfg, **overrides)
-    run = _detect_fn(cfg)
     h, w = cfg.model.image_size
 
-    fn = jax.jit(lambda images: run(variables, images))
+    if calibration is not None:
+        from detjax.quant import _detect_int8_fn, quantize_model
+
+        qtree = quantize_model(variables, cfg, jnp.asarray(calibration))
+        run_q = _detect_int8_fn(cfg)
+        fn = jax.jit(lambda images: run_q(qtree, images))
+    else:
+        run = _detect_fn(cfg)
+        fn = jax.jit(lambda images: run(variables, images))
     spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
     return jax.export.export(
         fn, platforms=list(platforms) if platforms else None)(spec)
@@ -57,9 +70,10 @@ def export_detect(
 def save_detect(path: str, variables, cfg: Config | str = "retinanet_r50_640",
                 batch_size: int = 1,
                 platforms: Optional[Sequence[str]] = None,
-                **overrides) -> None:
+                calibration=None, **overrides) -> None:
     """Serialize an exported detect artifact to ``path`` (one file)."""
-    exp = export_detect(variables, cfg, batch_size, platforms, **overrides)
+    exp = export_detect(variables, cfg, batch_size, platforms,
+                        calibration=calibration, **overrides)
     with open(path, "wb") as f:
         f.write(exp.serialize())
 

@@ -58,6 +58,25 @@ def test_export_serialize_roundtrip(small_setup, tmp_path):
     assert os.path.getsize(path) > 1_000_000
 
 
+def test_export_int8_engine_roundtrip(small_setup, tmp_path):
+    """calibration= exports the PTQ int8 engine's graph; the reloaded
+    artifact reproduces the live detect_int8 path on the same qtree."""
+    from detjax import quant
+
+    cfg, variables, images = small_setup
+    calibration = images  # already normalized fp batch
+    path = str(tmp_path / "detect_int8.stablehlo")
+    save_detect(path, variables, cfg, batch_size=2, calibration=calibration)
+    out = load_detect(path)(images)
+
+    qtree = quant.quantize_model(variables, cfg, calibration)
+    ref = quant.detect_int8(qtree, images, cfg)
+    np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                  np.asarray(ref.num_valid))
+    np.testing.assert_allclose(np.asarray(out.scores),
+                               np.asarray(ref.scores), rtol=1e-3, atol=1e-4)
+
+
 def test_export_rejects_wrong_shape(small_setup):
     cfg, variables, _ = small_setup
     exp = export_detect(variables, cfg, batch_size=1)
