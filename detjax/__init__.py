@@ -55,6 +55,14 @@ def export_detect(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def serve(*args, **kwargs):
+    """Micro-batching detection server — constructs
+    :class:`detjax.serve.DetectionServer` (see detjax-serve CLI)."""
+    from detjax.serve import DetectionServer
+
+    return DetectionServer(*args, **kwargs)
+
+
 def quantize_model(*args, **kwargs):
     """Int8 PTQ: calibrate + quantize — see :func:`detjax.quant.quantize_model`."""
     from detjax.quant import quantize_model as _impl
@@ -83,6 +91,7 @@ __all__ = [
     "fit",
     "evaluate",
     "export_detect",
+    "serve",
     "quantize_model",
     "detect_int8",
 ]
