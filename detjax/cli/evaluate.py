@@ -18,6 +18,10 @@ def main():
     ap.add_argument("--class-map", help="class_name,id CSV (with --csv)")
     ap.add_argument("--voc", action="store_true",
                     help="VOC-style per-class AP@0.5 instead of COCO stats")
+    ap.add_argument("--int8", action="store_true",
+                    help="evaluate through the int8 PTQ engine (calibrates "
+                         "on the first eval batch) — the PTQ accuracy-"
+                         "acceptance run")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--set", action="append", dest="overrides")
@@ -38,12 +42,27 @@ def main():
         ds = CSVDataset(args.csv, args.class_map, image_dir=args.images)
     else:
         ds = CocoDataset(args.ann, args.images)
+    detect_fn = None
+    if args.int8:
+        if args.voc:
+            ap.error("--int8 is only wired for the COCO path")
+        from detjax import quant
+
+        qstate = {}
+
+        def detect_fn(_, x):
+            # lazy PTQ: calibrate activation ranges on the first eval batch
+            if "q" not in qstate:
+                qstate["q"] = quant.quantize_model(variables, cfg, x)
+            return quant.detect_int8(qstate["q"], x, cfg)
+
     if args.voc:
         res = run_voc_eval(variables, ds, cfg, max_images=args.max_images)
         for k, v in res.items():
             print(f"{k}: {v:.4f}")
     else:
-        res = run_coco_eval(variables, ds, cfg, max_images=args.max_images)
+        res = run_coco_eval(variables, ds, cfg, max_images=args.max_images,
+                            detect_fn=detect_fn)
         for k, v in res.stats.items():
             print(f"{k:>6}: {v:.4f}")
 
