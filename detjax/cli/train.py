@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--train-images", help="explicit image dir")
     ap.add_argument("--val-ann")
     ap.add_argument("--val-images")
+    ap.add_argument("--csv-train",
+                    help="CSV annotation file (the lineage's --csv_train "
+                         "alternate dataset, SURVEY.md §2 #18)")
+    ap.add_argument("--csv-classes",
+                    help="class_name,id CSV (with --csv-train)")
+    ap.add_argument("--csv-val", help="CSV annotations for periodic eval")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the synthetic dataset (smoke/demo)")
     ap.add_argument("--steps", type=int, default=10000)
@@ -62,10 +68,14 @@ def main():
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
     args = ap.parse_args()
-    if not args.synthetic and not (args.coco_path or args.train_ann):
-        ap.error("one of --coco-path, --train-ann or --synthetic is required")
+    if not args.synthetic and not (args.coco_path or args.train_ann
+                                   or args.csv_train):
+        ap.error("one of --coco-path, --train-ann, --csv-train or "
+                 "--synthetic is required")
     if args.train_ann and not (args.train_images or args.coco_path):
         ap.error("--train-ann needs --train-images (or --coco-path)")
+    if args.csv_train and not args.csv_classes:
+        ap.error("--csv-train needs --csv-classes")
 
     import jax
 
@@ -78,7 +88,8 @@ def main():
         jax.config.update("jax_debug_nans", True)
 
     from detjax.config import get_config
-    from detjax.data import CocoDataset, SyntheticDetectionDataset, make_train_iterator
+    from detjax.data import (CocoDataset, CSVDataset,
+                             SyntheticDetectionDataset, make_train_iterator)
     from detjax.train import fit, make_train_state
     from detjax.train.loop import FitResult
 
@@ -94,6 +105,16 @@ def main():
         eval_ds = SyntheticDetectionDataset(
             num_images=16, image_size=cfg.model.image_size,
             num_classes=cfg.model.num_classes, seed=1)
+    elif args.csv_train:
+        train_ds = CSVDataset(args.csv_train, args.csv_classes,
+                              image_dir=args.train_images)
+        eval_ds = (CSVDataset(args.csv_val, args.csv_classes,
+                              image_dir=args.val_images or args.train_images)
+                   if args.csv_val else None)
+        if cfg.model.num_classes != train_ds.num_classes:
+            overrides["model.num_classes"] = train_ds.num_classes
+            cfg = get_config(args.preset, **overrides)
+            print(f"num_classes={train_ds.num_classes} (from --csv-classes)")
     else:
         ann = args.train_ann or os.path.join(
             args.coco_path, "annotations",
