@@ -77,6 +77,26 @@ def test_export_int8_engine_roundtrip(small_setup, tmp_path):
                                np.asarray(ref.scores), rtol=1e-3, atol=1e-4)
 
 
+def test_export_ssd_family(tmp_path):
+    """The artifact path covers the SSD head family too (config 2), not
+    just RetinaNet — per-level SSD anchors ride through jax.export."""
+    cfg = get_config(
+        "ssd_512",
+        **{"model.image_size": (128, 128), "model.num_classes": 4,
+           "model.dtype": "float32", "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(11), (1, 128, 128, 3))
+    path = str(tmp_path / "ssd.stablehlo")
+    save_detect(path, variables, cfg, batch_size=1)
+    out = load_detect(path)(images)
+    ref = detect(variables, images, cfg)
+    np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                  np.asarray(ref.num_valid))
+    np.testing.assert_allclose(np.asarray(out.scores),
+                               np.asarray(ref.scores), rtol=1e-4, atol=1e-5)
+
+
 def test_export_rejects_wrong_shape(small_setup):
     cfg, variables, _ = small_setup
     exp = export_detect(variables, cfg, batch_size=1)
