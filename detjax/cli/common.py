@@ -21,6 +21,40 @@ def parse_overrides(pairs) -> dict:
     return out
 
 
+def load_calibration_batch(image_paths, cfg, normalize: bool = True):
+    """Decode + letterbox image files into an [N,H,W,3] PTQ-calibration
+    batch (detjax-export / detjax-serve --int8-calibrate): normalized fp32
+    by default (what ``quantize_model`` takes), or raw uint8 canvases with
+    ``normalize=False`` (what ``DetectionServer(calibration=...)`` takes —
+    it normalizes internally)."""
+    import numpy as np
+    from PIL import Image
+
+    from detjax.data.transforms import letterbox
+
+    canvases = []
+    for p in image_paths:
+        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        canvas, _, _ = letterbox(img, np.zeros((0, 4), np.float32),
+                                 cfg.model.image_size)
+        canvases.append(canvas)
+    stacked = np.stack(canvases)
+    if not normalize:
+        return stacked
+
+    import jax
+    import jax.numpy as jnp
+
+    from detjax.data.pipeline import device_augment
+
+    batch, _ = device_augment(
+        jnp.asarray(stacked),
+        jnp.zeros((len(canvases), 1, 4), jnp.float32),
+        jax.random.PRNGKey(0), hflip_prob=0.0,
+        mean=cfg.data.mean, std=cfg.data.std)
+    return batch
+
+
 def load_variables(preset: str, ckpt_dir: str,
                    overrides: Optional[dict] = None):
     """Build the preset config and restore inference variables from the

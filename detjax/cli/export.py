@@ -44,24 +44,10 @@ def main():
 
     calibration = None
     if args.int8_calibrate:
-        import jax.numpy as jnp
-        from PIL import Image
+        from detjax.cli.common import load_calibration_batch
 
-        from detjax.data.pipeline import device_augment
-        from detjax.data.transforms import letterbox
-
-        canvases = []
-        for p in args.int8_calibrate:
-            img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
-            canvas, _, _ = letterbox(img, np.zeros((0, 4), np.float32),
-                                     cfg.model.image_size)
-            canvases.append(canvas)
-        calibration, _ = device_augment(
-            jnp.asarray(np.stack(canvases)),
-            jnp.zeros((len(canvases), 1, 4), jnp.float32),
-            jax.random.PRNGKey(0), hflip_prob=0.0,
-            mean=cfg.data.mean, std=cfg.data.std)
-        print(f"int8 PTQ calibrated on {len(canvases)} image(s)")
+        calibration = load_calibration_batch(args.int8_calibrate, cfg)
+        print(f"int8 PTQ calibrated on {len(args.int8_calibrate)} image(s)")
 
     platforms = tuple(p for p in args.platforms.split(",") if p) or None
     save_detect(args.out, variables, cfg, batch_size=args.batch_size,

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--engine", default="fp",
                     help="'fp', 'int8', or a path to a StableHLO artifact "
                          "from detjax-export (exported at --batch-size)")
+    ap.add_argument("--int8-calibrate", nargs="+", metavar="IMAGE",
+                    help="with --engine int8: calibrate PTQ ranges on these "
+                         "image files instead of the first request batch")
     ap.add_argument("--batch-size", type=int, default=8,
                     help="compiled micro-batch size")
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
@@ -40,10 +43,18 @@ def main():
     names = (COCO_CLASSES if cfg.model.num_classes == len(COCO_CLASSES)
              else None)
 
+    calibration = None
+    if args.int8_calibrate:
+        from detjax.cli.common import load_calibration_batch
+
+        calibration = load_calibration_batch(args.int8_calibrate, cfg,
+                                             normalize=False)
+        print(f"int8 PTQ calibration: {len(args.int8_calibrate)} image(s)")
+
     server = DetectionServer(
         variables, cfg, engine=args.engine, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, score_threshold=args.score_threshold,
-        class_names=names)
+        class_names=names, calibration=calibration)
 
     import signal
     import threading

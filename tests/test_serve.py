@@ -198,6 +198,18 @@ def test_engine_variants_agree(tmp_path):
         srv.batcher.close()
     assert counts["fp"] == counts[path]  # same graph, relowered
 
+    # explicit uint8 calibration canvases (the --int8-calibrate path)
+    calib = np.random.default_rng(6).integers(0, 256, (3, 64, 64, 3),
+                                              np.uint8)
+    srv = DetectionServer(variables, cfg, engine="int8", batch_size=2,
+                          score_threshold=0.0, calibration=calib)
+    _, _, _, nv = srv.batcher.submit(canvas)
+    assert nv >= 0
+    srv.batcher.close()
+    with pytest.raises(ValueError, match="calibration must be"):
+        DetectionServer(variables, cfg, engine="int8", batch_size=2,
+                        calibration=np.zeros((2, 32, 32, 3), np.uint8))
+
 
 def test_http_bad_requests(server):
     base = f"http://127.0.0.1:{server.port}"
