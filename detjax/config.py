@@ -110,6 +110,11 @@ class DataConfig:
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     prefetch: int = 2
     host_workers: int = 8
+    # Eval-side resize rule. () = canvas-fit scale (training rule);
+    # (608, 1024) = the reference Resizer's min-side/max-side protocol
+    # scale (SURVEY.md §2 #14) — required for mAP parity runs, where
+    # object-scale statistics must match the reference's eval resolution.
+    eval_scale_minmax: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,14 +195,16 @@ def _coco_v5e8() -> Config:
 
 
 def _retinanet_r50_1024() -> Config:
-    """Eval-resolution protocol preset: letterbox to 1024 so a parity run
-    can match the reference's variable min-608/max-1024 eval resolution
-    (SURVEY.md §2 #14 — every val2017 image resized to max-side 1024 fits
-    this canvas at its reference scale)."""
+    """Eval-resolution protocol preset: letterbox to 1024 with the
+    reference Resizer's min-608/max-1024 scale rule (SURVEY.md §2 #14) —
+    every val2017 image is evaluated at EXACTLY its reference scale
+    (e.g. 480×640 → 1.2667×, not canvas-fit 1.6×), on a canvas every
+    such image fits."""
     return Config(
         model=ModelConfig(name="retinanet_r50_1024", backbone_depth=50,
                           image_size=(1024, 1024)),
         train=TrainConfig(batch_size=8),
+        data=DataConfig(eval_scale_minmax=(608, 1024)),
         eval=EvalConfig(batch_size=4),
     )
 

@@ -74,7 +74,8 @@ class DetectionIterator:
                  crop_range: Tuple[float, float] = (0.3, 1.0),
                  drop_remainder: bool = True, prefetch: int = 2,
                  workers: int = 1, shard_index: int = 0,
-                 num_shards: int = 1):
+                 num_shards: int = 1,
+                 scale_minmax: Optional[Tuple[int, int]] = None):
         self.ds = dataset
         self.bs = batch_size
         self.hw = image_size
@@ -92,13 +93,16 @@ class DetectionIterator:
         self.workers = max(1, workers)
         self.shard_index = shard_index
         self.num_shards = num_shards
+        # reference eval-protocol resize rule (transforms.protocol_scale)
+        self.scale_minmax = scale_minmax
 
     def _record_to_example(self, rec: dict, rng: np.random.Generator) -> dict:
         img, boxes, labels = rec["image"], rec["boxes"], rec["labels"]
         if self.crop and rng.random() < 0.5:
             img, boxes, labels = random_crop(
                 img, boxes, labels, rng, *self.crop_range)
-        canvas, boxes, scale = letterbox(img, boxes, self.hw)
+        canvas, boxes, scale = letterbox(img, boxes, self.hw,
+                                         scale_minmax=self.scale_minmax)
         pb, pl = pad_annotations(boxes, labels, self.max_gt)
         return {"images": canvas, "gt_boxes": pb, "gt_labels": pl,
                 "image_id": rec["image_id"], "scale": scale}
@@ -279,4 +283,5 @@ def make_eval_iterator(dataset, cfg: Config):
         dataset, cfg.eval.batch_size, cfg.model.image_size,
         max_gt=cfg.train.max_gt, shuffle=False, repeat=False, crop=False,
         drop_remainder=False, prefetch=cfg.data.prefetch,
-        workers=cfg.data.host_workers)
+        workers=cfg.data.host_workers,
+        scale_minmax=tuple(cfg.data.eval_scale_minmax) or None)

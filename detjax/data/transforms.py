@@ -23,13 +23,31 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def protocol_scale(h: int, w: int, min_side: int = 608,
+                   max_side: int = 1024) -> float:
+    """The reference Resizer's scale rule (SURVEY.md §2 #14, §3.2):
+    scale the SHORT side to ``min_side``, capped so the LONG side never
+    exceeds ``max_side`` — i.e. ``min(min_side/min(h,w), max_side/max(h,w))``.
+    A 480×640 val2017 image gets 608/480 = 1.2667 (not 1024/640 = 1.6);
+    a 1024×2048 image gets 1024/2048 = 0.5. Small images UP-scale."""
+    return min(min_side / min(h, w), max_side / max(h, w))
+
+
 def letterbox(
     image: np.ndarray,  # [h, w, 3] uint8
     boxes: np.ndarray,  # [n, 4] xyxy in source coords
     target_hw: Tuple[int, int],
+    scale_minmax: Optional[Tuple[int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Aspect-preserving resize onto a fixed canvas. Returns
     (canvas uint8 [H,W,3], boxes in canvas coords, scale).
+
+    Default scale is canvas-fit (``min(th/h, tw/w)`` — fills the fixed
+    canvas, the TPU-first training rule). With ``scale_minmax=(608, 1024)``
+    the reference eval protocol's :func:`protocol_scale` rule is used
+    instead (still capped by canvas fit so the result always fits), which
+    makes object-scale statistics match the reference's variable-resolution
+    eval exactly — required for the ±0.2 mAP parity gate.
 
     The resize runs through the in-repo C++ bilinear kernel
     (detjax.native — the data loader's native substrate, SURVEY.md §2a)
@@ -38,6 +56,8 @@ def letterbox(
     th, tw = target_hw
     h, w = image.shape[:2]
     scale = min(th / h, tw / w)
+    if scale_minmax is not None:
+        scale = min(scale, protocol_scale(h, w, *scale_minmax))
     nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
     if (nh, nw) == (h, w):
         resized = image

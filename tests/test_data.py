@@ -33,6 +33,68 @@ def test_letterbox_scales_and_pads():
     np.testing.assert_allclose(out[0], [0, 0, 256, 128], atol=0.5)
 
 
+def test_protocol_scale_golden():
+    """The reference Resizer rule (SURVEY.md §2 #14): scale = min(608/min
+    side, 1024/max side), on representative val2017-like sizes."""
+    from detjax.data.transforms import protocol_scale
+
+    # typical val2017 landscape: short side governs
+    assert np.isclose(protocol_scale(480, 640), 608 / 480)  # 1.2667
+    # portrait is symmetric
+    assert np.isclose(protocol_scale(640, 480), 608 / 480)
+    # long side cap kicks in for elongated images
+    assert np.isclose(protocol_scale(1000, 2000), 1024 / 2000)  # 0.512
+    # small images UP-scale by the short-side rule
+    assert np.isclose(protocol_scale(300, 400), 608 / 300)
+    # square: short-side rule (608/700 < 1024/700)
+    assert np.isclose(protocol_scale(700, 700), 608 / 700)
+    # boundary: scale exactly 1 when min=608 and max<=1024
+    assert np.isclose(protocol_scale(608, 1024), 1.0)
+
+
+def test_letterbox_protocol_mode():
+    """letterbox(scale_minmax=(608, 1024)) on the 1024 canvas reproduces
+    the reference eval scale — NOT the canvas-fit scale."""
+    img = np.full((480, 640, 3), 200, np.uint8)
+    boxes = np.asarray([[0, 0, 640, 480]], np.float32)
+    canvas, out, scale = letterbox(img, boxes, (1024, 1024),
+                                   scale_minmax=(608, 1024))
+    assert canvas.shape == (1024, 1024, 3)
+    assert np.isclose(scale, 608 / 480)  # reference 1.2667, not 1.6
+    nh, nw = round(480 * scale), round(640 * scale)
+    assert canvas[:nh, :nw].mean() > 190
+    assert canvas[nh + 1:, :].sum() == 0 and canvas[:, nw + 1:].sum() == 0
+    np.testing.assert_allclose(out[0], [0, 0, nw, nh], atol=1.0)
+    # canvas-fit cap still applies if the protocol scale would overflow a
+    # smaller canvas (e.g. protocol rule on the 640 canvas)
+    _, _, s640 = letterbox(img, boxes, (640, 640), scale_minmax=(608, 1024))
+    assert np.isclose(s640, 640 / 640 * min(640 / 480, 640 / 640, 608 / 480))
+
+
+def test_eval_iterator_uses_protocol_scale():
+    """retinanet_r50_1024 preset wires eval_scale_minmax=(608,1024) into
+    the eval iterator; a 480×640 record evaluates at 1.2667×."""
+    from detjax.data.pipeline import make_eval_iterator
+
+    class OneImage:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return {"image": np.zeros((480, 640, 3), np.uint8),
+                    "boxes": np.zeros((0, 4), np.float32),
+                    "labels": np.zeros((0,), np.int32),
+                    "image_id": 7}
+
+    cfg = get_config("retinanet_r50_1024")
+    batch = next(iter(make_eval_iterator(OneImage(), cfg)))
+    assert np.isclose(batch["scale"][0], 608 / 480)
+    # default 640 preset keeps canvas-fit behavior
+    cfg640 = get_config("retinanet_r50_640")
+    batch640 = next(iter(make_eval_iterator(OneImage(), cfg640)))
+    assert np.isclose(batch640["scale"][0], 1.0)
+
+
 def test_hflip_boxes_golden():
     boxes = np.asarray([[10, 20, 30, 40]], np.float32)
     out = hflip_boxes(boxes, 100)
