@@ -51,13 +51,32 @@ def main():
     ap.add_argument("--backbone-only", action="store_true",
                     help="import only the backbone (heads stay random — "
                          "debugging aid, NOT a parity run)")
+    ap.add_argument("--reference-ap", type=float, default=None,
+                    help="the reference's COCO AP@[.5:.95] (0..1 fraction, "
+                         "e.g. 0.335). When given, the parity gate is "
+                         "ASSERTED: |AP - reference_AP| must be <= "
+                         "--tolerance or the script exits 1.")
+    ap.add_argument("--tolerance", type=float, default=0.002,
+                    help="parity tolerance as an AP fraction; the north "
+                         "star's '±0.2 mAP points' = 0.002 (default)")
+    ap.add_argument("--json-out", default=None,
+                    help="write {'AP': ..., 'reference_AP': ..., 'delta': "
+                         "..., 'pass': ...} to this path")
+    ap.add_argument("--set", action="append", dest="overrides",
+                    help="dotted config overrides, e.g. "
+                         "model.image_size=(320,320) (rehearsal speed knob)")
     args = ap.parse_args()
 
     import jax
 
+    # honor JAX_PLATFORMS even where a sitecustomize force-prefers a
+    # backend (the parity rehearsal runs this script on CPU from the suite)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from detjax.config import get_config
     from detjax.data import CocoDataset
-    from detjax.evaluation import run_coco_eval
+    import numpy as np
     from detjax.modeling import build_model
     from detjax.utils.torch_import import (
         import_detector_into_variables,
@@ -65,8 +84,12 @@ def main():
         load_state_dict_file,
     )
 
+    from detjax.cli.common import parse_overrides
+
     preset = "retinanet_r50_1024" if args.eval_1024 else "retinanet_r50_640"
-    cfg = get_config(preset, **{"model.backbone_depth": args.depth})
+    overrides = {"model.backbone_depth": args.depth}
+    overrides.update(parse_overrides(args.overrides))
+    cfg = get_config(preset, **overrides)
     print(f"preset={preset} depth={args.depth}")
 
     _, variables = build_model(cfg, jax.random.PRNGKey(0))
@@ -78,10 +101,55 @@ def main():
           f"from {args.torch_ckpt} ({len(sd)} tensors)")
 
     ds = CocoDataset(args.ann, args.images)
-    res = run_coco_eval(variables, ds, cfg, max_images=args.max_images)
+    # same machinery as run_coco_eval, plus a detections fingerprint
+    # (count + score sum) so the rehearsal can assert cross-process
+    # determinism of the import->detect->NMS path, not just the AP
+    from detjax.evaluation.coco_map import COCOMetric
+    from detjax.evaluation.evaluator import _gt_provider, iter_detections
+
+    metric = COCOMetric(category_ids=list(range(cfg.model.num_classes)))
+    gt_of = _gt_provider(ds)
+    n_dets, score_sum = 0, 0.0
+    for img_id, boxes, scores, labels in iter_detections(
+            variables, ds, cfg, max_images=args.max_images):
+        metric.add(img_id, gt_of(img_id), boxes, scores, labels)
+        n_dets += int(len(scores))
+        score_sum += float(np.sum(scores))
+    res = metric.compute()
     for k, v in res.stats.items():
         print(f"{k:>6}: {v:.4f}")
-    print("\nParity gate: |AP - reference_AP| <= 0.002 (mAP points: 0.2)")
+    print(f"detections: {n_dets} (score sum {score_sum:.4f})")
+
+    ap_val = float(res.stats["AP"])
+    if args.json_out:
+        import json
+
+        payload = {"AP": ap_val, "num_detections": n_dets,
+                   "score_sum": score_sum,
+                   "reference_AP": args.reference_ap,
+                   "delta": (None if args.reference_ap is None
+                             else ap_val - args.reference_ap),
+                   "tolerance": args.tolerance,
+                   "pass": (None if args.reference_ap is None
+                            else abs(ap_val - args.reference_ap)
+                            <= args.tolerance)}
+        with open(args.json_out, "w") as f:
+            json.dump(payload, f)
+        print(f"wrote {args.json_out}")
+
+    if args.reference_ap is None:
+        print("\nNo --reference-ap given: parity NOT asserted. The gate is "
+              f"|AP - reference_AP| <= {args.tolerance} "
+              "(north star: ±0.2 mAP points).")
+        return
+
+    delta = ap_val - args.reference_ap
+    ok = abs(delta) <= args.tolerance
+    print(f"\nParity gate: |{ap_val:.4f} - {args.reference_ap:.4f}| = "
+          f"{abs(delta):.4f} {'<=' if ok else '>'} {args.tolerance:.4f} "
+          f"-> {'PASS' if ok else 'FAIL'}")
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
