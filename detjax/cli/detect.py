@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 
 def main():
@@ -55,6 +56,10 @@ def main():
             from detjax import quant
 
             if qtree is None:
+                print("int8: calibrating PTQ activation ranges on "
+                      f"{path} (first input image); detections for other "
+                      "images depend on this image's activation ranges",
+                      file=sys.stderr)
                 qtree = quant.quantize_model(variables, cfg, x)
             det = quant.detect_int8(qtree, x, cfg)
         else:

@@ -53,6 +53,11 @@ def main():
         def detect_fn(_, x):
             # lazy PTQ: calibrate activation ranges on the first eval batch
             if "q" not in qstate:
+                import sys
+
+                print("int8: calibrating PTQ activation ranges on the "
+                      "first eval batch; results depend on eval-set order",
+                      file=sys.stderr)
                 qstate["q"] = quant.quantize_model(variables, cfg, x)
             return quant.detect_int8(qstate["q"], x, cfg)
 

@@ -23,8 +23,8 @@ def main():
                     help="'fp', 'int8', or a path to a StableHLO artifact "
                          "from detjax-export (exported at --batch-size)")
     ap.add_argument("--int8-calibrate", nargs="+", metavar="IMAGE",
-                    help="with --engine int8: calibrate PTQ ranges on these "
-                         "image files instead of the first request batch")
+                    help="with --engine int8: image files to calibrate PTQ "
+                         "activation ranges on (REQUIRED for int8)")
     ap.add_argument("--batch-size", type=int, default=8,
                     help="compiled micro-batch size")
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
@@ -44,6 +44,10 @@ def main():
              else None)
 
     calibration = None
+    if args.engine == "int8" and not args.int8_calibrate:
+        ap.error("--engine int8 requires --int8-calibrate IMAGE... "
+                 "(PTQ ranges frozen from an arbitrary first request are "
+                 "unrepresentative and non-reproducible)")
     if args.int8_calibrate:
         from detjax.cli.common import load_calibration_batch
 

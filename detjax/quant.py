@@ -372,9 +372,15 @@ def quantize(variables, cfg: Config, act_scales: Dict[str, np.ndarray],
                 bn_name = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
                            "downsample_conv": "downsample_bn"}.get(name)
                 if bn_name is not None and bn_name in tree and prefix:
-                    w, b = _fold_bn_fp32(
-                        k, tree[bn_name],
-                        stats_tree[bn_name] if stats_tree else None)
+                    if not stats_tree or bn_name not in stats_tree:
+                        raise ValueError(
+                            f"cannot fold BN for {path}: the variables "
+                            f"tree has a {bn_name} sibling but no matching "
+                            "batch_stats subtree (was the model built "
+                            "without batch_stats, or the wrong variables "
+                            "dict passed to quantize()?)")
+                    w, b = _fold_bn_fp32(k, tree[bn_name],
+                                         stats_tree[bn_name])
                 elif "bias" in node:
                     w, b = k, np.asarray(node["bias"], np.float32)
                 else:

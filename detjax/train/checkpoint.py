@@ -68,6 +68,15 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def _has_item(self, step: int, item: str) -> bool:
+        """True when the Composite layout's ``item`` directory exists for
+        ``step`` — the explicit layout probe that decides Composite vs
+        legacy restore (a genuine restore error, e.g. a template shape
+        mismatch from the wrong --preset, must NOT be misread as 'legacy
+        layout' and swallowed)."""
+        return os.path.isdir(os.path.join(
+            os.path.abspath(self.directory), str(step), item))
+
     def restore(self, state: TrainState, step: Optional[int] = None,
                 host_template: Optional[dict] = None):
         """Restore into the structure of ``state`` (template for dtypes/shapes).
@@ -88,11 +97,11 @@ class Checkpointer:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype") else x, template)
-        try:
+        if self._has_item(step, "state"):
             restored = self._mgr.restore(
                 step, args=ocp.args.Composite(
                     state=ocp.args.StandardRestore(abstract)))["state"]
-        except Exception:
+        else:
             # legacy layout (pre-Composite): one 'default' item holding the
             # state tree, possibly with an inline 'host' subtree
             restored = self._restore_legacy(step, abstract, host_template)
@@ -102,11 +111,11 @@ class Checkpointer:
         if not want_host:
             return new_state
         host = dict(host_template)
-        try:
+        if self._has_item(step, "host"):
             saved = self._mgr.restore(
                 step, args=ocp.args.Composite(host=ocp.args.JsonRestore()))
             host.update(saved["host"])
-        except Exception:
+        else:
             # no JSON host item: legacy inline subtree or no host at all
             host.update(getattr(self, "_legacy_host", None) or {})
         self._legacy_host = None

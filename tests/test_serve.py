@@ -150,8 +150,10 @@ def test_http_detect_roundtrip(server):
     for d in dets:
         assert set(d) == {"box", "score", "label", "class"}
         x0, y0, x1, y1 = d["box"]
-        # boxes come back in ORIGINAL (pre-letterbox) image coordinates
-        assert -1 <= x0 <= x1 <= 121 and -1 <= y0 <= y1 <= 121
+        # boxes come back in ORIGINAL (pre-letterbox) image coordinates,
+        # clipped to the source bounds (90 high x 120 wide) — detections
+        # touching the letterbox padding must not map outside the image
+        assert 0 <= x0 <= x1 <= 120 and 0 <= y0 <= y1 <= 90
         assert d["class"] in ("a", "b", "c", "d")
 
 
@@ -188,24 +190,24 @@ def test_engine_variants_agree(tmp_path):
     save_detect(path, variables, cfg, batch_size=2)
 
     canvas = np.random.default_rng(5).integers(0, 256, (64, 64, 3), np.uint8)
+    # explicit uint8 calibration canvases (the --int8-calibrate path); the
+    # int8 engine REQUIRES them — lazy first-request calibration is gone
+    calib = np.random.default_rng(6).integers(0, 256, (3, 64, 64, 3),
+                                              np.uint8)
     counts = {}
     for engine in ("fp", "int8", path):
         srv = DetectionServer(variables, cfg, engine=engine, batch_size=2,
-                              score_threshold=0.0)
+                              score_threshold=0.0,
+                              calibration=calib if engine == "int8" else None)
         boxes, scores, labels, nv = srv.batcher.submit(canvas)
         counts[engine] = nv
         assert boxes.shape == (10, 4) and nv >= 0
         srv.batcher.close()
     assert counts["fp"] == counts[path]  # same graph, relowered
 
-    # explicit uint8 calibration canvases (the --int8-calibrate path)
-    calib = np.random.default_rng(6).integers(0, 256, (3, 64, 64, 3),
-                                              np.uint8)
-    srv = DetectionServer(variables, cfg, engine="int8", batch_size=2,
-                          score_threshold=0.0, calibration=calib)
-    _, _, _, nv = srv.batcher.submit(canvas)
-    assert nv >= 0
-    srv.batcher.close()
+    with pytest.raises(ValueError, match="requires calibration"):
+        DetectionServer(variables, cfg, engine="int8", batch_size=2,
+                        score_threshold=0.0)
     with pytest.raises(ValueError, match="calibration must be"):
         DetectionServer(variables, cfg, engine="int8", batch_size=2,
                         calibration=np.zeros((2, 32, 32, 3), np.uint8))
