@@ -115,6 +115,12 @@ class DataConfig:
     # scale (SURVEY.md §2 #14) — required for mAP parity runs, where
     # object-scale statistics must match the reference's eval resolution.
     eval_scale_minmax: Tuple[int, ...] = ()
+    # Double-buffered async jax.device_put in fit(): the next batch's H2D
+    # overlaps the current step's compute (SURVEY.md §7). Right for real
+    # TPU hosts; measured INVERTED through this box's axon tunnel, where
+    # the prefetched transfer's bytes serialize ahead of the next step's
+    # dispatch commands (BASELINE.md round-3 note) — flip off to compare.
+    device_prefetch: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -256,6 +256,34 @@ class DetectionIterator:
             done.set()
 
 
+def device_prefetch(batches: Iterator[Dict[str, np.ndarray]],
+                    size: int = 1, sharding=None):
+    """Double-buffered ``jax.device_put``: keep ``size`` batches in flight
+    so the NEXT batch's H2D copy overlaps the CURRENT step's device compute
+    (SURVEY.md §7 "double-buffered jax.device_put prefetch").
+
+    ``jax.device_put`` is asynchronous on TPU — it enqueues the transfer
+    and returns immediately — so issuing it one batch ahead is all the
+    overlap machinery needed; the jitted step then consumes
+    already-resident (or in-flight) arrays instead of paying a synchronous
+    copy at call time. ``sharding`` places batches for the pjit
+    data-parallel path (NamedSharding over the batch axis); default is the
+    single-chip default device.
+    """
+    target = sharding if sharding is not None else jax.devices()[0]
+
+    def put(b):
+        return {k: jax.device_put(v, target) for k, v in b.items()}
+
+    buf: collections.deque = collections.deque()
+    for b in batches:
+        buf.append(put(b))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def make_train_iterator(dataset, cfg: Config, per_host: bool = False):
     """Train batches; ``per_host=True`` gives this process its shard of the
     data and of the global batch (multi-host pjit DP — each host feeds its

@@ -144,6 +144,16 @@ def fit(
         it = train_batches.iter_from(start)
     else:
         it = iter(train_batches)
+    # double-buffered device transfer: next batch's H2D overlaps this
+    # step's compute (SURVEY.md §7). Values pass through unchanged, so
+    # seek/resume determinism is untouched. Multi-host feeds per-process
+    # shards through global_batch_from_local instead.
+    if cfg.data.device_prefetch and jax.process_count() == 1:
+        from detjax.data.pipeline import device_prefetch
+        from detjax.parallel.mesh import NamedSharding, P
+
+        sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
+        it = device_prefetch(it, size=1, sharding=sharding)
     for i in range(start, num_steps):
         batch = next(it)
         state, metrics = step_fn(state, batch)

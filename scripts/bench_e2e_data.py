@@ -106,6 +106,28 @@ def main():
           f"({100 * e2e_rate / synth_rate:.0f}% of device ceiling)",
           flush=True)
 
+    # 4) same, through device_prefetch: the next batch's H2D overlaps the
+    # current step's compute (the fit() production path since round 3)
+    from detjax.data.pipeline import device_prefetch
+
+    keys = ("images", "gt_boxes", "gt_labels")
+    it = device_prefetch(
+        ({k: b[k] for k in keys} for b in make_train_iterator(ds, cfg)),
+        size=1)
+    b = next(it)
+    s, m = step(s, b)
+    float(np.asarray(m["loss"]))
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(args.steps):
+        s, m = step(s, next(it))
+        done += bs
+    float(np.asarray(m["loss"]))
+    dp_rate = done / (time.perf_counter() - t0)
+    print(f"e2e + device_prefetch:            {dp_rate:7.1f} img/s "
+          f"({100 * dp_rate / synth_rate:.0f}% of device ceiling, "
+          f"{dp_rate / e2e_rate:.2f}x vs serial H2D)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -95,6 +95,23 @@ def test_eval_iterator_uses_protocol_scale():
     assert np.isclose(batch640["scale"][0], 1.0)
 
 
+def test_device_prefetch_passthrough():
+    """device_prefetch is value-transparent (order + content), so wrapping
+    the train iterator cannot perturb bit-exact resume."""
+    from detjax.data.pipeline import device_prefetch
+
+    batches = [{"images": np.full((2, 4, 4, 3), i, np.uint8),
+                "gt_boxes": np.full((2, 3, 4), float(i), np.float32)}
+               for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=1))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["images"]),
+                                      batches[i]["images"])
+        np.testing.assert_array_equal(np.asarray(b["gt_boxes"]),
+                                      batches[i]["gt_boxes"])
+
+
 def test_hflip_boxes_golden():
     boxes = np.asarray([[10, 20, 30, 40]], np.float32)
     out = hflip_boxes(boxes, 100)
