@@ -68,10 +68,22 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, axis_name: str = "data"):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
 
-    def run(state: TrainState, batch):
+    def _place(state: TrainState, batch):
         batch = jax.device_put(batch, data)
         if jax.tree.leaves(state.params)[0].sharding != repl:
             state = jax.device_put(state, repl)
+        return state, batch
+
+    def run(state: TrainState, batch):
+        state, batch = _place(state, batch)
         return base(state, batch)
 
+    def warmup(state: TrainState, batch):
+        """AOT compile without executing — multi-process callers compile
+        BEFORE their first collective so the cross-host transport (Gloo on
+        CPU meshes) connects without compile-time skew."""
+        state, batch = _place(state, batch)
+        base.lower(state, batch).compile()
+
+    run.warmup = warmup
     return run

@@ -94,9 +94,21 @@ class Checkpointer:
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state}
         want_host = host_template is not None
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-            if hasattr(x, "dtype") else x, template)
+
+        def _abstract(x):
+            if not hasattr(x, "dtype"):
+                return x
+            # carry the template's sharding: multi-process restore (the
+            # v5e-8 multihost path) must know the global placement, and a
+            # sharded template also restores replicated/sharded state
+            # directly onto the mesh instead of host-staging it
+            sharding = getattr(x, "sharding", None)
+            if isinstance(x, jax.Array) and sharding is not None:
+                return jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                            sharding=sharding)
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+
+        abstract = jax.tree.map(_abstract, template)
         if self._has_item(step, "state"):
             restored = self._mgr.restore(
                 step, args=ocp.args.Composite(
