@@ -51,8 +51,20 @@ class MicroBatcher:
 
     def __init__(self, run_batch: Callable[[np.ndarray], Sequence],
                  batch_size: int, canvas_hw, max_wait_ms: float = 2.0,
-                 max_queue_batches: int = 8):
+                 max_queue_batches: int = 8,
+                 dispatch: Optional[Callable] = None,
+                 finalize: Optional[Callable] = None):
         self.run_batch = run_batch
+        # split-phase engine (serving overlap): ``dispatch`` enqueues the
+        # device work asynchronously and returns a handle; ``finalize``
+        # blocks on the handle and builds per-slot results. When a loaded
+        # queue holds the NEXT batch already, the worker dispatches it
+        # BEFORE finalizing the current one, so batch N+1's normalize+H2D
+        # overlaps batch N's compute. Without the pair, run_batch runs
+        # synchronously (no overlap, identical results).
+        self._dispatch = dispatch if dispatch is not None else run_batch
+        self._finalize = (finalize if finalize is not None
+                          else lambda handle, n: handle)
         self.batch_size = batch_size
         self.canvas_hw = tuple(canvas_hw)
         self.max_wait = max_wait_ms / 1e3
@@ -118,11 +130,40 @@ class MicroBatcher:
                 slot["error"] = RuntimeError("MicroBatcher closed")
                 slot["done"].set()
 
+    def _finish(self, pending):
+        """Block on a dispatched batch's handle and release its waiters."""
+        slots, handle = pending
+        try:
+            results = self._finalize(handle, len(slots))
+            for i, s in enumerate(slots):
+                s["result"] = results[i]
+        except Exception as e:  # propagate to every waiter in the batch
+            for s in slots:
+                s["error"] = e
+        finally:
+            self.completed += len(slots)
+            for s in slots:
+                s["done"].set()
+
     def _loop(self):
         h, w = self.canvas_hw
+        pending = None  # previously dispatched, not yet finalized
         while not self._stop.is_set():
-            first = self._q.get()
+            if pending is not None:
+                # device is busy with `pending` — poll briefly for the next
+                # batch so its dispatch can overlap, else finalize now
+                try:
+                    first = self._q.get(timeout=self.max_wait)
+                except queue.Empty:
+                    self._finish(pending)
+                    pending = None
+                    continue
+            else:
+                first = self._q.get()
             if first is None:
+                if pending is not None:
+                    self._finish(pending)
+                    pending = None
                 continue
             slots = [first]
             # drain whatever else is queued, briefly waiting out the
@@ -140,16 +181,26 @@ class MicroBatcher:
                 batch = np.zeros((self.batch_size, h, w, 3), np.uint8)
                 for i, s in enumerate(slots):
                     batch[i] = s["canvas"]
-                results = self.run_batch(batch)
-                for i, s in enumerate(slots):
-                    s["result"] = results[i]
-            except Exception as e:  # propagate to every waiter in the batch
+                # async dispatch FIRST: batch N+1's normalize+H2D rides
+                # along while batch N (pending) still computes
+                handle = self._dispatch(batch)
+            except Exception as e:
                 for s in slots:
                     s["error"] = e
-            finally:
                 self.completed += len(slots)
                 for s in slots:
                     s["done"].set()
+                handle = None
+            if pending is not None:
+                self._finish(pending)
+                pending = None
+            if handle is not None:
+                pending = (slots, handle)
+                if self._q.empty():  # idle: no latency hiding to gain
+                    self._finish(pending)
+                    pending = None
+        if pending is not None:
+            self._finish(pending)
 
 
 class DetectionServer:
@@ -165,7 +216,7 @@ class DetectionServer:
                  score_threshold: float = 0.3,
                  calibration: Optional[np.ndarray] = None,
                  class_names: Optional[Sequence[str]] = None,
-                 max_queue_batches: int = 8):
+                 max_queue_batches: int = 8, overlap: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -221,18 +272,28 @@ class DetectionServer:
 
             run = load_detect(engine)
 
-        def run_batch(canvases_u8: np.ndarray):
-            det = run(_normalize(canvases_u8))
+        def dispatch_batch(canvases_u8: np.ndarray):
+            # async: jit dispatch returns device handles immediately, so
+            # the NEXT batch's normalize+H2D overlaps this one's compute
+            return run(_normalize(canvases_u8))
+
+        def finalize_batch(det, n: int):
             boxes = np.asarray(det.boxes)
             scores = np.asarray(det.scores)
             labels = np.asarray(det.labels)
             nv = np.asarray(det.num_valid)
             return [(boxes[i], scores[i], labels[i], int(nv[i]))
-                    for i in range(canvases_u8.shape[0])]
+                    for i in range(n)]
+
+        def run_batch(canvases_u8: np.ndarray):
+            return finalize_batch(dispatch_batch(canvases_u8),
+                                  canvases_u8.shape[0])
 
         self.batcher = MicroBatcher(run_batch, batch_size, (h, w),
                                     max_wait_ms,
-                                    max_queue_batches=max_queue_batches)
+                                    max_queue_batches=max_queue_batches,
+                                    dispatch=dispatch_batch if overlap else None,
+                                    finalize=finalize_batch if overlap else None)
         self._run_batch = run_batch
 
     def warmup(self):

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--reqs", type=int, default=8, help="requests per client")
     ap.add_argument("--image-size", type=int, default=640)
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="disable the split-phase dispatch/finalize engine "
+                         "(A/B the serving-overlap feature)")
     args = ap.parse_args()
 
     import jax
@@ -47,12 +50,14 @@ def main():
     _, variables = build_model(cfg)
     srv = DetectionServer(variables, cfg, engine=args.engine,
                           batch_size=args.batch_size, max_wait_ms=2.0,
-                          score_threshold=0.3)
+                          score_threshold=0.3, overlap=not args.no_overlap)
     ready = threading.Event()
     t = threading.Thread(target=srv.serve, args=("127.0.0.1", 0, ready),
                          daemon=True)
     t.start()
-    ready.wait(30)
+    # serve() compiles the engine BEFORE binding (cold-start off the
+    # request path) — minutes-scale on a cold box
+    assert ready.wait(3600), "server never became ready"
     url = f"http://127.0.0.1:{srv.port}/detect"
 
     rng = np.random.default_rng(0)

@@ -78,6 +78,48 @@ def test_microbatcher_sheds_load_when_full():
     mb.close()
 
 
+def test_microbatcher_overlap_dispatch_before_finalize():
+    """Split-phase engine: under a loaded queue the worker dispatches
+    batch N+1 BEFORE finalizing batch N (serving overlap), and every
+    request still gets its own batch's result."""
+    import time
+
+    events = []
+    gate = threading.Event()
+
+    def dispatch(batch):
+        v = int(batch[0, 0, 0, 0])
+        events.append(("d", v))
+        gate.wait(10)  # hold the first dispatch until all are queued
+        return v
+
+    def finalize(handle, n):
+        events.append(("f", handle))
+        return [float(handle)] * n
+
+    mb = MicroBatcher(lambda b: [0.0] * b.shape[0], batch_size=1,
+                      canvas_hw=(4, 4), max_wait_ms=200.0,
+                      dispatch=dispatch, finalize=finalize)
+    outs = {}
+
+    def hit(v):
+        outs[v] = mb.submit(np.full((4, 4, 3), v, np.uint8))
+
+    threads = [threading.Thread(target=hit, args=(v,)) for v in (1, 2, 3)]
+    threads[0].start()
+    time.sleep(0.3)  # worker takes #1, blocks in its dispatch
+    threads[1].start()
+    threads[2].start()
+    time.sleep(0.3)  # #2/#3 queued behind the gated dispatch
+    gate.set()
+    for t in threads:
+        t.join(10)
+    mb.close()
+    assert outs == {1: 1.0, 2: 2.0, 3: 3.0}
+    # batch 2's dispatch must precede batch 1's finalize (the overlap)
+    assert events.index(("d", 2)) < events.index(("f", 1)), events
+
+
 def test_microbatcher_rejects_bad_canvas_without_wedging():
     mb = MicroBatcher(lambda b: [0.0] * b.shape[0], batch_size=2,
                       canvas_hw=(4, 4))
