@@ -53,6 +53,15 @@ class ModelConfig:
     # win is offset by the kernel's m=64 MXU underutilization) and a small
     # regression on the inference path — see ROADMAP round-2 notes.
     fused_backbone: str = "off"
+    # Lower the bottleneck's stride-1 1×1 convs with dot-form pieces to
+    # sidestep XLA:TPU's pathological conv-form 1×1 weight-gradient
+    # lowering (5–30× off roofline at the layer1/2 shapes —
+    # scripts/profile_conv_bwd.py). "on"/"full" = dot-form forward
+    # (measured IN-GRAPH: loses 11 %, the reshape breaks conv-BN-ReLU
+    # fusion); "dw" = conv-form forward/dX with dot-form dW only via a
+    # custom VJP; "auto" = the measured best for the backend ("off" —
+    # see ROADMAP round-3 conv-backward verdict); "off" = plain convs.
+    dot_1x1: str = "off"
 
     @property
     def num_anchors_per_cell(self) -> int:

@@ -40,9 +40,11 @@ class Detector(nn.Module):
         fused = (cfg.fused_backbone == "on"
                  or (cfg.fused_backbone == "auto"
                      and jax.default_backend() == "tpu"))
+        dot_1x1 = {"on": "full", "auto": "off"}.get(cfg.dot_1x1,
+                                                    cfg.dot_1x1)
         feats = ResNet(stage_sizes=stage_sizes, block=block, dtype=dtype,
                        frozen_bn=cfg.frozen_backbone_bn,
-                       fused_blocks=fused,
+                       fused_blocks=fused, dot_1x1=dot_1x1,
                        name="backbone")(images, train=train)
         feats = {l: f for l, f in feats.items() if l >= cfg.min_level}
         pyramid = FPN(min_level=cfg.min_level, max_level=cfg.max_level,

@@ -58,6 +58,82 @@ class _BNParams(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+def _conv1x1(x: Array, kernel: Array) -> Array:
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def conv1x1_dotdw(x: Array, kernel: Array) -> Array:
+    """Stride-1 1×1 conv whose WEIGHT gradient is a dot-general.
+
+    Forward and dX stay conv-form (they fuse with the surrounding
+    BN/ReLU and measure near roofline), but dW — which XLA:TPU lowers
+    5–30× off roofline at the bottleneck shapes
+    (scripts/profile_conv_bwd.py) — is computed as the xᵀ·dy contraction
+    over the fused batch-space dim instead.
+    """
+    return _conv1x1(x, kernel)
+
+
+def _conv1x1_dotdw_fwd(x, kernel):
+    return _conv1x1(x, kernel), (x, kernel)
+
+
+def _conv1x1_dotdw_bwd(res, dy):
+    x, kernel = res
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    # dX: 1×1 conv with the transposed kernel — conv-form (measured fine)
+    dx = _conv1x1(dy, jnp.swapaxes(kernel, 2, 3))
+    # dW: [B·H·W, Cin]ᵀ × [B·H·W, Cout] dot, fp32 accumulation (the MXU
+    # accumulates fp32 for the conv-form dW too)
+    dw = jax.lax.dot_general(
+        x.reshape(b * h * w, cin), dy.reshape(b * h * w, cout),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return dx, dw.reshape(1, 1, cin, cout).astype(kernel.dtype)
+
+
+conv1x1_dotdw.defvjp(_conv1x1_dotdw_fwd, _conv1x1_dotdw_bwd)
+
+
+class DotConv1x1(nn.Module):
+    """Stride-1 1×1 conv with a dot-form lowering (see ``mode``).
+
+    Param tree is identical to ``nn.Conv`` (``kernel`` of shape
+    (1, 1, Cin, Cout), he_normal init) so checkpoints/importers are
+    unaffected. Motivation: the conv-form WEIGHT gradient at the
+    bottleneck's 1×1 shapes measures 5–30× off roofline on v5e while the
+    dot-form contraction sits near it (scripts/profile_conv_bwd.py).
+
+    mode="full": the forward itself is a [B·H·W, Cin]×[Cin, Cout] dot —
+    autodiff then emits dot-form dX/dW. Measured IN-GRAPH: loses 11 %
+    (106.4 vs 95.7 ms step) — the reshape breaks XLA's conv-BN-ReLU
+    fusion (scripts/profile_dot1x1.py).
+    mode="dw": conv-form forward/dX (fusion preserved), dot-form dW only,
+    via ``conv1x1_dotdw``'s custom VJP.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    mode: str = "dw"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (1, 1, cin, self.features))
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        if self.mode == "dw":
+            return conv1x1_dotdw(xc, kc)
+        y = jax.lax.dot_general(
+            xc.reshape(b * h * w, cin), kc[0, 0],
+            (((1,), (0,)), ((), ())))
+        return y.reshape(b, h, w, self.features)
+
+
 def _fold_bn(kernel: Array, scale, bias, mean, var,
              eps: float = 1e-5) -> Tuple[Array, Array]:
     """Fold frozen-BN affine+stats into conv weights: returns
@@ -82,6 +158,7 @@ class BottleneckBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     norm: Callable = nn.BatchNorm
     fused: bool = False
+    dot_1x1: str = "off"  # "off" | "full" | "dw" (see DotConv1x1)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -103,7 +180,10 @@ class BottleneckBlock(nn.Module):
             return bottleneck_identity(
                 x.astype(jnp.bfloat16), w1e, b1e, w2e, b2e, w3e, b3e)
         residual = x
-        y = Conv(self.filters, (1, 1), dtype=self.dtype, name="conv1")(x)
+        conv1x1 = (partial(DotConv1x1, mode=self.dot_1x1)
+                   if self.dot_1x1 != "off"
+                   else partial(Conv, kernel_size=(1, 1)))
+        y = conv1x1(self.filters, dtype=self.dtype, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         # explicit (1,1) padding: for stride 2 this matches torch's
@@ -114,12 +194,17 @@ class BottleneckBlock(nn.Module):
                  padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = Conv(self.filters * 4, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = conv1x1(self.filters * 4, dtype=self.dtype, name="conv3")(y)
         y = self.norm(name="bn3")(y)
         if residual.shape[-1] != self.filters * 4 or self.stride != 1:
-            residual = Conv(self.filters * 4, (1, 1),
-                            strides=(self.stride, self.stride),
-                            dtype=self.dtype, name="downsample_conv")(x)
+            if self.stride == 1 and self.dot_1x1 != "off":
+                residual = DotConv1x1(self.filters * 4, dtype=self.dtype,
+                                      mode=self.dot_1x1,
+                                      name="downsample_conv")(x)
+            else:
+                residual = Conv(self.filters * 4, (1, 1),
+                                strides=(self.stride, self.stride),
+                                dtype=self.dtype, name="downsample_conv")(x)
             residual = self.norm(name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -171,6 +256,7 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     frozen_bn: bool = True
     fused_blocks: bool = False  # Pallas fused identity bottlenecks (TPU)
+    dot_1x1: str = "off"  # stride-1 1×1 convs as dots: "off"|"full"|"dw"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Dict[int, Array]:
@@ -214,6 +300,7 @@ class ResNet(nn.Module):
                         # par on layer3 and a loss on layer4 (compute-bound) —
                         # scripts/profile_bottleneck.py
                         fused=fused and stage < 2,
+                        dot_1x1=self.dot_1x1,
                         name=f"layer{stage + 1}_block{block}")(x)
             feats[stage + 2] = x  # C2..C5 at strides 4,8,16,32
         return feats

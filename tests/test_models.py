@@ -141,3 +141,51 @@ def test_all_presets_construct_and_latency_preset():
             "anchor_ratios", "min_level", "max_level")
     for f in same:
         assert getattr(lat.model, f) == getattr(full.model, f), f
+
+
+def test_dot1x1_lowerings_match_conv():
+    """The dot-form 1x1 lowerings (ModelConfig.dot_1x1, the conv-backward
+    campaign) keep an nn.Conv-identical param tree and exact fp32
+    numerics: "full" relowers the forward as a dot, "dw" keeps a
+    conv-form forward but computes the weight gradient as a dot via a
+    custom VJP."""
+    from detjax.models.resnet import DotConv1x1, _conv1x1, conv1x1_dotdw
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+    ref = __import__("flax.linen", fromlist=["linen"]).Conv(
+        24, (1, 1), use_bias=False, dtype=jnp.float32,
+        kernel_init=jax.nn.initializers.he_normal())
+    variables = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = ref.apply(variables, x)
+    for mode in ("full", "dw"):
+        mod = DotConv1x1(24, dtype=jnp.float32, mode=mode)
+        # identical param tree: the reference Conv's variables apply as-is
+        y = mod.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    # dw-mode custom VJP == autodiff of the conv, fp32-exact
+    k = variables["params"]["kernel"]
+    ct = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 24)), jnp.float32)
+    gx_r, gk_r = jax.grad(
+        lambda a, b: jnp.vdot(_conv1x1(a, b), ct), (0, 1))(x, k)
+    gx_d, gk_d = jax.grad(
+        lambda a, b: jnp.vdot(conv1x1_dotdw(a, b), ct), (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_d), np.asarray(gk_r),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_dot1x1_detector_param_tree_unchanged():
+    """Flipping dot_1x1 must not move a single param: checkpoints and the
+    torch importer are lowering-agnostic."""
+    cfg_off = get_config("retinanet_r50_640", **SMALL)
+    cfg_dw = get_config("retinanet_r50_640",
+                        **{**SMALL, "model.dot_1x1": "dw"})
+    _, v_off = build_model(cfg_off, jax.random.PRNGKey(0))
+    _, v_dw = build_model(cfg_dw, jax.random.PRNGKey(0))
+    assert jax.tree.structure(v_off) == jax.tree.structure(v_dw)
+    for a, b in zip(jax.tree.leaves(v_off), jax.tree.leaves(v_dw)):
+        assert a.shape == b.shape and a.dtype == b.dtype
