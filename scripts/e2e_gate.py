@@ -56,7 +56,10 @@ def gate_quick():
     print("QUICK GATE PASSED")
 
 
-def gate_hard():
+def _hard_setup(random_crop: bool = True):
+    """The flagship-scale gate workload: 80 classes, 640 px, crowds,
+    small objects — the regime where quantization error and relowering
+    drift actually surface (VERDICT r2 weak #2)."""
     cfg = get_config("retinanet_r50_640", **{
         "model.num_classes": 80,
         "model.frozen_backbone_bn": False,
@@ -64,14 +67,19 @@ def gate_hard():
         "train.max_gt": 16,
         "train.learning_rate": 1e-3,
         "train.lr_schedule": "constant",
-        "data.hflip_prob": 0.5,
-        "data.random_crop": True,     # train-time crops (SURVEY.md §2 #14)
+        "data.hflip_prob": 0.5 if random_crop else 0.0,
+        "data.random_crop": random_crop,  # train crops (SURVEY.md §2 #14)
         "eval.batch_size": 8,
     })
     ds = SyntheticDetectionDataset(
         num_images=16, image_size=(640, 640), num_classes=80,
         max_objects=8, seed=7, size_range=(1.0 / 32.0, 1.0 / 3.0),
         crowd_prob=0.15)
+    return cfg, ds
+
+
+def gate_hard():
+    cfg, ds = _hard_setup()
     variables = _run(cfg, ds, 2500, "hard", 0.5)
 
     # two-stage candidate selection vs exact global top-k on the TRAINED
@@ -160,10 +168,7 @@ def gate_int8():
     """Train the quick-gate model, PTQ-quantize it (detjax/quant.py), and
     assert the int8 engine's AP50 matches the fp path on the trained
     model — the accuracy side of the int8 inference feature."""
-    import jax.numpy as jnp
-
     from detjax import quant
-    from detjax.data.pipeline import device_augment, make_eval_iterator
     from detjax.evaluation.evaluator import run_coco_eval
 
     cfg = get_config("retinanet_r50_640", **{
@@ -182,16 +187,7 @@ def gate_int8():
                                    num_classes=6, max_objects=3, seed=3)
     variables = _run(cfg, ds, 1500, "int8-fp-baseline", 0.6)
     fp = run_coco_eval(variables, ds, cfg)
-
-    # calibrate on the (normalized) eval stream itself
-    batch = next(iter(make_eval_iterator(ds, cfg)))
-    imgs = jnp.asarray(batch["images"])
-    if imgs.dtype == jnp.uint8:
-        imgs, _ = device_augment(
-            imgs, jnp.zeros((imgs.shape[0], 1, 4), jnp.float32),
-            jax.random.PRNGKey(0), hflip_prob=0.0,
-            mean=cfg.data.mean, std=cfg.data.std)
-    qtree = quant.quantize_model(variables, cfg, imgs)
+    qtree = _quantize_on_eval_stream(variables, ds, cfg)
     q = run_coco_eval(variables, ds, cfg,
                       detect_fn=lambda _, x: quant.detect_int8(qtree, x, cfg))
     print("fp  :", {k: round(fp.stats[k], 4) for k in ("AP", "AP50", "AP75")})
@@ -243,16 +239,90 @@ def gate_export():
     print("EXPORT GATE PASSED")
 
 
+def _quantize_on_eval_stream(variables, ds, cfg):
+    """Calibrate PTQ activation ranges on the first (normalized) eval
+    batch — the gates' calibration protocol."""
+    import jax.numpy as jnp
+
+    from detjax import quant
+    from detjax.data.pipeline import device_augment, make_eval_iterator
+
+    batch = next(iter(make_eval_iterator(ds, cfg)))
+    imgs = jnp.asarray(batch["images"])
+    if imgs.dtype == jnp.uint8:
+        imgs, _ = device_augment(
+            imgs, jnp.zeros((imgs.shape[0], 1, 4), jnp.float32),
+            jax.random.PRNGKey(0), hflip_prob=0.0,
+            mean=cfg.data.mean, std=cfg.data.std)
+    return quant.quantize_model(variables, cfg, imgs)
+
+
+def gate_hard_int8():
+    """Int8 PTQ at FLAGSHIP scale — 80 classes, 640 px, crowds, small
+    objects (VERDICT r2 #4): trains the hard-gate model on the real chip
+    and asserts the int8 engine's AP within tight deltas of fp."""
+    from detjax import quant
+    from detjax.evaluation.evaluator import run_coco_eval
+
+    cfg, ds = _hard_setup()
+    variables = _run(cfg, ds, 2500, "hard-int8-fp-baseline", 0.5)
+    fp = run_coco_eval(variables, ds, cfg)
+    qtree = _quantize_on_eval_stream(variables, ds, cfg)
+    q = run_coco_eval(variables, ds, cfg,
+                      detect_fn=lambda _, x: quant.detect_int8(qtree, x, cfg))
+    print("fp  :", {k: round(fp.stats[k], 4)
+                    for k in ("AP", "AP50", "AP75", "APs")})
+    print("int8:", {k: round(q.stats[k], 4)
+                    for k in ("AP", "AP50", "AP75", "APs")})
+    assert q.stats["AP50"] > fp.stats["AP50"] - 0.02, (fp.stats, q.stats)
+    assert q.stats["AP"] > fp.stats["AP"] - 0.05, (fp.stats, q.stats)
+    print("HARD-INT8 GATE PASSED")
+
+
+def gate_hard_export():
+    """StableHLO export at FLAGSHIP scale — 80 classes, 640 px (VERDICT
+    r2 #4): bf16-relowering drift must stay AP-negligible through the
+    deployment artifact at the shape production serves."""
+    import os
+    import tempfile
+
+    from detjax.evaluation.evaluator import run_coco_eval
+    from detjax.export import load_detect, save_detect
+
+    cfg, ds = _hard_setup()
+    variables = _run(cfg, ds, 2500, "hard-export-fp-baseline", 0.5)
+    fp = run_coco_eval(variables, ds, cfg)
+    path = os.path.join(tempfile.mkdtemp(), "detect640.stablehlo")
+    save_detect(path, variables, cfg, batch_size=cfg.eval.batch_size)
+    served_fn = load_detect(path)
+    served = run_coco_eval(variables, ds, cfg,
+                           detect_fn=lambda _, x: served_fn(x))
+    print("live  :", {k: round(fp.stats[k], 4)
+                      for k in ("AP", "AP50", "AP75", "APs")})
+    print("export:", {k: round(served.stats[k], 4)
+                      for k in ("AP", "AP50", "AP75", "APs")})
+    assert served.stats["AP50"] > fp.stats["AP50"] - 0.02, (
+        fp.stats, served.stats)
+    assert served.stats["AP"] > fp.stats["AP"] - 0.05, (
+        fp.stats, served.stats)
+    print(f"artifact: {os.path.getsize(path) / 1e6:.1f} MB")
+    print("HARD-EXPORT GATE PASSED")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", default="all",
-                    choices=("quick", "hard", "ssd", "int8", "export", "all"))
+                    choices=("quick", "hard", "ssd", "int8", "export",
+                             "hard-int8", "hard-export", "all"))
     args = ap.parse_args()
     gates = {"quick": [gate_quick], "hard": [gate_hard],
              "ssd": [gate_ssd], "int8": [gate_int8],
              "export": [gate_export],
+             "hard-int8": [gate_hard_int8],
+             "hard-export": [gate_hard_export],
              "all": [gate_quick, gate_hard, gate_ssd, gate_int8,
-                     gate_export]}[args.gate]
+                     gate_export, gate_hard_int8, gate_hard_export]
+             }[args.gate]
     for g in gates:
         g()
     print("E2E GATE PASSED")
