@@ -31,15 +31,36 @@ from detjax.ops.matching import MatchResult, match_anchors
 Array = jnp.ndarray
 
 
+def _sigmoid_softplus_pair(x):
+    """(σ(x), softplus(x), softplus(−x)) from ONE exp + ONE log1p.
+
+    e = exp(−|x|), l = log1p(e):
+      σ(x)        = x≥0 ? 1/(1+e) : e/(1+e)
+      softplus(x) = x≥0 ? x + l   : l
+      softplus(−x)= softplus(x) − x
+    Same values as the jax.nn stable forms (identical branch structure),
+    but the whole focal fwd+bwd then shares a single transcendental pair —
+    the trace showed the fused focal pass VPU-bound at 14 % of HBM peak
+    (docs/ROOFLINE.md round-3 revision), so transcendental count, not
+    bytes, sets its speed.
+    """
+    nonneg = x >= 0
+    e = jnp.exp(-jnp.abs(x))
+    l = jnp.log1p(e)
+    sig = jnp.where(nonneg, 1.0, e) / (1.0 + e)
+    sp_pos = jnp.where(nonneg, x + l, l)  # softplus(x)
+    return sig, sp_pos, sp_pos - x  # softplus(-x) = softplus(x) - x
+
+
 def _focal_elem(logits, matched_labels, weight, alpha, gamma):
     """Elementwise focal loss → per-image sum over (A, K). [...] f32."""
     k = logits.shape[-1]
     logits = logits.astype(jnp.float32)
     # One-hot targets; label -1 (non-positive) → all-zero row.
     targets = jax.nn.one_hot(matched_labels, k, dtype=jnp.float32)  # [..., A, K]
-    p = jax.nn.sigmoid(logits)
+    p, sp_pos, sp_neg = _sigmoid_softplus_pair(logits)
     # Stable BCE from logits: log(p) = -softplus(-x), log(1-p) = -softplus(x)
-    ce = targets * jax.nn.softplus(-logits) + (1.0 - targets) * jax.nn.softplus(logits)
+    ce = targets * sp_neg + (1.0 - targets) * sp_pos
     p_t = targets * p + (1.0 - targets) * (1.0 - p)
     alpha_t = targets * alpha + (1.0 - targets) * (1.0 - alpha)
     one_minus_pt = 1.0 - p_t
@@ -82,8 +103,13 @@ def _focal_sum_bwd(alpha, gamma, res, g):
     x = logits.astype(jnp.float32)
     targets = jax.nn.one_hot(matched_labels, k, dtype=jnp.float32)
     sign = 2.0 * targets - 1.0  # (2t − 1)
-    p_t = jax.nn.sigmoid(sign * x)
-    log_pt = -jax.nn.softplus(-sign * x)  # log σ(s·x), stable
+    # p_t = σ(s·x), log_pt = log σ(s·x): selected from the single
+    # exp/log1p pair on x (see _sigmoid_softplus_pair) instead of fresh
+    # transcendentals on s·x — t=1 → (σ(x), −softplus(−x)),
+    # t=0 → (1−σ(x), −softplus(x))
+    p, sp_pos, sp_neg = _sigmoid_softplus_pair(x)
+    p_t = targets * p + (1.0 - targets) * (1.0 - p)
+    log_pt = -(targets * sp_neg + (1.0 - targets) * sp_pos)
     alpha_t = targets * alpha + (1.0 - targets) * (1.0 - alpha)
     one_minus = 1.0 - p_t
     if gamma == 2.0:
