@@ -160,12 +160,13 @@ def batched_detect_postprocess(
 def _select_candidates(
     deltas: Array,  # [A, 4] raw box regression (one image)
     anchors: Array,  # [A, 4]
-    scores: Array,  # [A, K] per-class probabilities
+    scores: Array,  # [A, K] per-class probabilities, or raw logits (below)
     box_std,
     image_size,
     score_threshold: float,
     num_candidates: int,
     exact: bool,
+    scores_are_logits: bool = False,
 ):
     """Candidate (anchor, class) pairs by score → decoded/clipped boxes.
 
@@ -182,25 +183,48 @@ def _select_candidates(
     it can only drop pairs whose anchor holds >K/num_candidates stronger
     anchors above it — at the 0.05 score floor that mass is AP-negligible
     (tests: identical detections on peaked score distributions).
+
+    ``scores_are_logits=True``: ``scores`` holds raw logits; ranking runs
+    in the logit domain (sigmoid is strictly monotone, so top-k sets,
+    tie classes and index tie-breaks are IDENTICAL — bf16 logits map
+    injectively through fp32 sigmoid for |logit| ≲ 16.6; above that fp32
+    sigmoid saturates to exactly 1.0, where the probability-domain path
+    degenerated to an index-ordered slice of the 1.0-tie block anyway —
+    trained detectors never emit such logits, only random-init towers
+    do), the threshold is transported to logit(score_threshold), and
+    sigmoid is applied only to the ``n`` selected candidates. This removes the full [A, K] sigmoid
+    materialization from the detect path — ~1 ms/batch at the flagship
+    shape (docs/ROOFLINE.md round-3 inference trace).
     """
     from detjax.ops.boxes import clip_boxes, decode_boxes  # cycle-free import
 
     a, k = scores.shape
     n = min(num_candidates, a * k)
+    if scores_are_logits:
+        import math
+
+        t = min(max(float(score_threshold), 1e-8), 1.0 - 1e-8)
+        score_threshold = math.log(t) - math.log1p(-t)
     if exact or a * k <= _EXACT_PAIRS_MAX:
-        flat = jnp.where(scores > score_threshold, scores, NEG_INF).reshape(-1)
+        flat = jnp.where(scores > score_threshold, scores, NEG_INF)
+        flat = flat.astype(jnp.float32).reshape(-1)
         cand_scores, cand_flat = jax.lax.top_k(flat, n)
         cand_anchor = (cand_flat // k).astype(jnp.int32)
         cand_label = (cand_flat % k).astype(jnp.int32)
     else:
         n_anchor = min(n, a)
         best_per_anchor = jnp.max(scores, axis=-1)  # [A]; fuses into sigmoid
-        _, top_anchor = jax.lax.top_k(best_per_anchor, n_anchor)  # [n_a]
+        _, top_anchor = jax.lax.top_k(
+            best_per_anchor.astype(jnp.float32), n_anchor)  # [n_a]
         slab = scores[top_anchor]  # [n_a, K] gather — tiny
-        slab = jnp.where(slab > score_threshold, slab, NEG_INF)
+        slab = jnp.where(slab > score_threshold, slab,
+                         NEG_INF).astype(jnp.float32)
         cand_scores, flat_idx = jax.lax.top_k(slab.reshape(-1), n)
         cand_anchor = top_anchor[(flat_idx // k)].astype(jnp.int32)
         cand_label = (flat_idx % k).astype(jnp.int32)
+    if scores_are_logits:  # sigmoid on the n winners only; keep the sentinel
+        cand_scores = jnp.where(cand_scores > NEG_INF / 2,
+                                jax.nn.sigmoid(cand_scores), NEG_INF)
     # Decode ONLY the candidates (76× fewer boxes than decoding all anchors).
     cand_boxes = decode_boxes(deltas[cand_anchor], anchors[cand_anchor], box_std)
     cand_boxes = clip_boxes(cand_boxes, image_size)
@@ -226,6 +250,7 @@ def fused_detect_postprocess(
     max_detections: int = 100,
     exact: bool = False,
     backend: str = "auto",  # "auto" | "pallas" | "lax"
+    scores_are_logits: bool = False,
 ) -> Detections:
     """Production fused postprocess (SURVEY.md §3.2 TPU replacement).
 
@@ -239,11 +264,15 @@ def fused_detect_postprocess(
     ``backend="auto"`` uses the Pallas VMEM-resident NMS kernel on TPU
     (detjax.kernels.postprocess) and the lax scan elsewhere; both produce
     identical keep sets.
+
+    ``scores_are_logits=True`` selects candidates in the logit domain and
+    defers sigmoid to the selected pairs — identical detections, one full
+    [B, A, K] elementwise pass less (see :func:`_select_candidates`).
     """
     cand_boxes, cand_scores, cand_label = jax.vmap(
         lambda d, s: _select_candidates(
             d, anchors, s, box_std, image_size, score_threshold,
-            num_candidates, exact)
+            num_candidates, exact, scores_are_logits)
     )(deltas, scores)
 
     offset = float(max(image_size) + 2)

@@ -422,16 +422,17 @@ def _detect_int8_fn(cfg: Config):
     def run(qtree, images):
         cls_logits, box_deltas = forward_int8(qtree, cfg, images)
         box_deltas = box_deltas.astype(jnp.float32)
-        scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+        # logit-domain candidate selection — see modeling._detect_fn
         return fused_detect_postprocess(
-            box_deltas, jnp.asarray(anchors_np), scores,
+            box_deltas, jnp.asarray(anchors_np), cls_logits,
             box_std=cfg.model.box_std,
             image_size=cfg.model.image_size,
             score_threshold=e.score_threshold,
             iou_threshold=e.nms_iou_threshold,
             num_candidates=e.pre_nms_top_k,
             max_detections=e.max_detections,
-            exact=e.exact_candidates)
+            exact=e.exact_candidates,
+            scores_are_logits=True)
 
     return run
 

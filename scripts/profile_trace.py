@@ -41,8 +41,14 @@ FORMAT_CATEGORIES = {
 
 def classify(src: str, expr: str, category: str) -> str:
     """Map one HLO op to a roofline region."""
+    if "ops/nms.py" in src or "kernels/nms" in src \
+            or "kernels/postprocess.py" in src or "ops/detect" in src \
+            or "modeling.py" in src:
+        return "postprocess"
+    if "ops/boxes.py" in src:
+        return "encode/decode"
     if "ops/losses.py" in src or "ops/matching.py" in src \
-            or "kernels/matching.py" in src or "ops/boxes.py" in src:
+            or "kernels/matching.py" in src:
         return "loss"
     if "optax" in src or "clip" in src and "train/step.py" in src:
         return "optimizer"
@@ -65,7 +71,8 @@ def classify(src: str, expr: str, category: str) -> str:
     return "other"
 
 
-def capture_trace(steps: int) -> str:
+def capture_trace(steps: int, mode: str = "train",
+                  infer_bs: int = 8) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -78,27 +85,44 @@ def capture_trace(steps: int) -> str:
     bs, (h, w) = cfg.train.batch_size, cfg.model.image_size
     g = cfg.train.max_gt
     rng = np.random.default_rng(0)
-    batch = {
-        "images": jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), jnp.float32),
-        "gt_boxes": jnp.tile(
-            jnp.asarray([[[50.0, 50, 300, 300]]], jnp.float32), (bs, g, 1)),
-        "gt_labels": jnp.concatenate(
-            [jnp.full((bs, 2), 3, jnp.int32),
-             -jnp.ones((bs, g - 2), jnp.int32)], axis=1),
-    }
-    state = make_train_state(cfg)
-    step = make_train_step(cfg)
-    s, m = step(state, batch)           # compile
-    np.asarray(m["loss"])
-    for _ in range(3):                  # warm
-        s, m = step(s, batch)
-    np.asarray(m["loss"])
 
-    tdir = tempfile.mkdtemp(prefix="detjax_trace_")
-    with jax.profiler.trace(tdir):
-        for _ in range(steps):
+    if mode == "infer":
+        from detjax.modeling import _detect_fn, build_model
+
+        _, variables = build_model(cfg)
+        dfn = _detect_fn(cfg)
+        images = jnp.asarray(rng.normal(0, 1, (infer_bs, h, w, 3)),
+                             jnp.float32)
+        np.asarray(dfn(variables, images).scores)  # compile
+        outs = [dfn(variables, images).scores for _ in range(4)]  # warm
+        np.asarray(outs[-1])
+        tdir = tempfile.mkdtemp(prefix="detjax_trace_")
+        with jax.profiler.trace(tdir):
+            outs = [dfn(variables, images).scores for _ in range(steps)]
+            np.asarray(jnp.stack([o[0, 0] for o in outs]).sum())
+    else:
+        batch = {
+            "images": jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)),
+                                  jnp.float32),
+            "gt_boxes": jnp.tile(
+                jnp.asarray([[[50.0, 50, 300, 300]]], jnp.float32),
+                (bs, g, 1)),
+            "gt_labels": jnp.concatenate(
+                [jnp.full((bs, 2), 3, jnp.int32),
+                 -jnp.ones((bs, g - 2), jnp.int32)], axis=1),
+        }
+        state = make_train_state(cfg)
+        step = make_train_step(cfg)
+        s, m = step(state, batch)           # compile
+        np.asarray(m["loss"])
+        for _ in range(3):                  # warm
             s, m = step(s, batch)
         np.asarray(m["loss"])
+        tdir = tempfile.mkdtemp(prefix="detjax_trace_")
+        with jax.profiler.trace(tdir):
+            for _ in range(steps):
+                s, m = step(s, batch)
+            np.asarray(m["loss"])
     paths = glob.glob(os.path.join(tdir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane under {tdir}"
@@ -125,9 +149,13 @@ def main():
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--xplane", default=None,
                     help="parse an existing xplane.pb instead of tracing")
+    ap.add_argument("--mode", default="train", choices=("train", "infer"),
+                    help="trace the train step or the fused detect path")
+    ap.add_argument("--infer-bs", type=int, default=8)
     args = ap.parse_args()
 
-    path = args.xplane or capture_trace(args.steps)
+    path = args.xplane or capture_trace(args.steps, args.mode,
+                                        args.infer_bs)
     print(f"xplane: {path}", flush=True)
     rows = hlo_rows(path)
     steps = args.steps

@@ -143,6 +143,47 @@ def test_two_stage_candidates_match_exact_on_peaked_scores(rng, monkeypatch):
                                   np.asarray(exact.labels[:, :nv]))
 
 
+def test_logit_domain_selection_matches_probability_domain(rng, monkeypatch):
+    """scores_are_logits=True must yield IDENTICAL detections to feeding
+    sigmoid(logits): sigmoid is strictly monotone so top-k sets, labels and
+    index tie-breaks agree; the threshold transports to logit(t). Checked on
+    both the exact and the two-stage candidate branches, with bf16 logits
+    (the production head dtype)."""
+    import jax
+    from detjax.ops import nms as nms_mod
+    from detjax.ops.nms import fused_detect_postprocess
+
+    b, a, k = 2, 300, 8
+    anchors = _boxes_scores(rng, a)[0]
+    deltas = rng.normal(0, 0.3, (b, a, 4)).astype(np.float32)
+    logits = jnp.asarray(
+        rng.normal(-3, 2.5, (b, a, k)).astype(np.float32)).astype(jnp.bfloat16)
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    common = dict(image_size=(256, 256), num_candidates=64,
+                  max_detections=20, score_threshold=0.05)
+    for force_two_stage in (False, True):
+        if force_two_stage:
+            monkeypatch.setattr(nms_mod, "_EXACT_PAIRS_MAX", 0)
+        ref = fused_detect_postprocess(
+            jnp.asarray(deltas), jnp.asarray(anchors), probs, **common)
+        out = fused_detect_postprocess(
+            jnp.asarray(deltas), jnp.asarray(anchors), logits,
+            scores_are_logits=True, **common)
+        np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                      np.asarray(ref.num_valid))
+        for i in range(b):
+            nv = int(ref.num_valid[i])
+            np.testing.assert_array_equal(np.asarray(out.labels[i, :nv]),
+                                          np.asarray(ref.labels[i, :nv]))
+            np.testing.assert_allclose(np.asarray(out.scores[i, :nv]),
+                                       np.asarray(ref.scores[i, :nv]),
+                                       rtol=0, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(out.boxes[i, :nv]),
+                                       np.asarray(ref.boxes[i, :nv]),
+                                       rtol=0, atol=1e-5)
+
+
 def test_fused_postprocess_matches_per_class_path(rng):
     """Production fused path (global candidates + class-offset NMS) must give
     the same detections as the per-class reference path when the candidate
