@@ -146,6 +146,11 @@ class EvalConfig:
     # classes → top-k anchors → top-k pairs; ~30× cheaper, mAP-neutral —
     # see ops/nms._select_candidates)
     exact_candidates: bool = False
+    # candidate top-k lowering: "auto" = TPU PartialReduce (exact value
+    # multiset; tie order within bit-equal scores may differ from the
+    # full sort), "exact" = lax.top_k full sort everywhere, "partial" =
+    # force the PartialReduce path (see ops/nms._select_candidates)
+    topk_mode: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

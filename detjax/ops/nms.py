@@ -167,6 +167,7 @@ def _select_candidates(
     num_candidates: int,
     exact: bool,
     scores_are_logits: bool = False,
+    topk: str = "exact",  # "exact" | "partial" (resolved by caller)
 ):
     """Candidate (anchor, class) pairs by score → decoded/clipped boxes.
 
@@ -195,8 +196,23 @@ def _select_candidates(
     sigmoid is applied only to the ``n`` selected candidates. This removes the full [A, K] sigmoid
     materialization from the detect path — ~1 ms/batch at the flagship
     shape (docs/ROOFLINE.md round-3 inference trace).
+
+    ``topk="partial"``: the two-stage branch ranks with
+    ``lax.approx_max_k(recall_target=1.0)`` — TPU's PartialReduce top-k
+    — instead of ``lax.top_k``'s full variadic sort. The selected VALUE
+    multiset is exact (recall 1.0); only the order WITHIN exact-score
+    tie blocks differs from ``lax.top_k``'s lowest-index-first rule, so
+    detections can differ only where two candidates carry bit-equal
+    scores (common in bf16 heads, AP-neutral — the tie-aware e2e gates
+    cover it; `scripts/profile_topk.py` for the measurements). The
+    ``exact=True`` oracle branch always uses the full sort.
     """
     from detjax.ops.boxes import clip_boxes, decode_boxes  # cycle-free import
+
+    def _top_k(v, kk):
+        if topk == "partial":
+            return jax.lax.approx_max_k(v, kk, recall_target=1.0)
+        return jax.lax.top_k(v, kk)
 
     a, k = scores.shape
     n = min(num_candidates, a * k)
@@ -214,12 +230,12 @@ def _select_candidates(
     else:
         n_anchor = min(n, a)
         best_per_anchor = jnp.max(scores, axis=-1)  # [A]; fuses into sigmoid
-        _, top_anchor = jax.lax.top_k(
+        _, top_anchor = _top_k(
             best_per_anchor.astype(jnp.float32), n_anchor)  # [n_a]
         slab = scores[top_anchor]  # [n_a, K] gather — tiny
         slab = jnp.where(slab > score_threshold, slab,
                          NEG_INF).astype(jnp.float32)
-        cand_scores, flat_idx = jax.lax.top_k(slab.reshape(-1), n)
+        cand_scores, flat_idx = _top_k(slab.reshape(-1), n)
         cand_anchor = top_anchor[(flat_idx // k)].astype(jnp.int32)
         cand_label = (flat_idx % k).astype(jnp.int32)
     if scores_are_logits:  # sigmoid on the n winners only; keep the sentinel
@@ -251,6 +267,7 @@ def fused_detect_postprocess(
     exact: bool = False,
     backend: str = "auto",  # "auto" | "pallas" | "lax"
     scores_are_logits: bool = False,
+    topk: str = "auto",  # "auto" | "exact" | "partial"
 ) -> Detections:
     """Production fused postprocess (SURVEY.md §3.2 TPU replacement).
 
@@ -268,11 +285,17 @@ def fused_detect_postprocess(
     ``scores_are_logits=True`` selects candidates in the logit domain and
     defers sigmoid to the selected pairs — identical detections, one full
     [B, A, K] elementwise pass less (see :func:`_select_candidates`).
+
+    ``topk="auto"`` resolves to the PartialReduce top-k on TPU (full-sort
+    semantics up to exact-score tie order; see :func:`_select_candidates`)
+    and the exact sort elsewhere; force with "exact"/"partial".
     """
+    if topk == "auto":
+        topk = "partial" if jax.default_backend() == "tpu" else "exact"
     cand_boxes, cand_scores, cand_label = jax.vmap(
         lambda d, s: _select_candidates(
             d, anchors, s, box_std, image_size, score_threshold,
-            num_candidates, exact, scores_are_logits)
+            num_candidates, exact, scores_are_logits, topk)
     )(deltas, scores)
 
     offset = float(max(image_size) + 2)

@@ -432,7 +432,8 @@ def _detect_int8_fn(cfg: Config):
             num_candidates=e.pre_nms_top_k,
             max_detections=e.max_detections,
             exact=e.exact_candidates,
-            scores_are_logits=True)
+            scores_are_logits=True,
+            topk=e.topk_mode)
 
     return run
 

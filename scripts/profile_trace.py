@@ -40,13 +40,12 @@ FORMAT_CATEGORIES = {
 
 
 def classify(src: str, expr: str, category: str) -> str:
-    """Map one HLO op to a roofline region."""
-    if "ops/nms.py" in src or "kernels/nms" in src \
-            or "kernels/postprocess.py" in src or "ops/detect" in src \
-            or "modeling.py" in src:
-        return "postprocess"
-    if "ops/boxes.py" in src:
-        return "encode/decode"
+    """Map one HLO op to a roofline region.
+
+    ``src`` is the full inlined source stack, so outer frames (e.g.
+    modeling.py, which wraps the whole detect program) must be checked
+    AFTER the specific module frames they call into.
+    """
     if "ops/losses.py" in src or "ops/matching.py" in src \
             or "kernels/matching.py" in src:
         return "loss"
@@ -54,6 +53,11 @@ def classify(src: str, expr: str, category: str) -> str:
         return "optimizer"
     if "models/fpn.py" in src or "models/heads.py" in src:
         return "fpn+heads"
+    if "ops/boxes.py" in src:
+        return "encode/decode"
+    if "ops/nms.py" in src or "kernels/nms" in src \
+            or "kernels/postprocess.py" in src or "ops/detect" in src:
+        return "postprocess"
     if "models/resnet.py" in src or "flax" in src and "pool" in expr:
         # split the backbone by spatial resolution in the op text:
         # stem ops run at 320², layer1 at 160², layer2 80², layer3 40²,

@@ -184,6 +184,49 @@ def test_logit_domain_selection_matches_probability_domain(rng, monkeypatch):
                                        rtol=0, atol=1e-5)
 
 
+def test_partial_topk_matches_exact_sort(rng, monkeypatch):
+    """topk="partial" (TPU PartialReduce lowering; exact value multiset at
+    recall 1.0) must give identical detections to topk="exact" on tie-free
+    scores, on both candidate branches. Tie blocks may reorder on TPU —
+    covered by the tie-aware e2e gates — but with distinct fp32 scores the
+    selections must agree everywhere, including the CPU fallback lowering
+    this test runs under."""
+    import jax
+    from detjax.ops import nms as nms_mod
+    from detjax.ops.nms import fused_detect_postprocess
+
+    b, a, k = 2, 300, 8
+    anchors = _boxes_scores(rng, a)[0]
+    deltas = rng.normal(0, 0.3, (b, a, 4)).astype(np.float32)
+    # distinct fp32 logits: add a unique sub-bf16 dither per (anchor, class)
+    logits = rng.normal(-3, 2.5, (b, a, k)).astype(np.float32)
+    logits += np.arange(a * k, dtype=np.float32).reshape(1, a, k) * 1e-6
+    logits = jnp.asarray(logits)
+
+    common = dict(image_size=(256, 256), num_candidates=64,
+                  max_detections=20, score_threshold=0.05,
+                  scores_are_logits=True)
+    for force_two_stage in (False, True):
+        if force_two_stage:
+            monkeypatch.setattr(nms_mod, "_EXACT_PAIRS_MAX", 0)
+        ref = fused_detect_postprocess(
+            jnp.asarray(deltas), jnp.asarray(anchors), logits,
+            topk="exact", **common)
+        out = fused_detect_postprocess(
+            jnp.asarray(deltas), jnp.asarray(anchors), logits,
+            topk="partial", **common)
+        np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                      np.asarray(ref.num_valid))
+        for i in range(b):
+            nv = int(ref.num_valid[i])
+            np.testing.assert_array_equal(np.asarray(out.labels[i, :nv]),
+                                          np.asarray(ref.labels[i, :nv]))
+            np.testing.assert_array_equal(np.asarray(out.scores[i, :nv]),
+                                          np.asarray(ref.scores[i, :nv]))
+            np.testing.assert_array_equal(np.asarray(out.boxes[i, :nv]),
+                                          np.asarray(ref.boxes[i, :nv]))
+
+
 def test_fused_postprocess_matches_per_class_path(rng):
     """Production fused path (global candidates + class-offset NMS) must give
     the same detections as the per-class reference path when the candidate
