@@ -85,8 +85,12 @@ def main():
     train_img_s = bs / best_dt
 
     # ---- inference throughput: fused detect @640, bs=8 ----
+    # images arrive in the MODEL dtype, as the serving/eval normalize
+    # fusion emits it (pipeline.device_augment out_dtype) — the detect
+    # jit never sees an fp32 batch in production
     infer_bs = 8
-    images = jnp.asarray(rng.normal(0, 1, (infer_bs, h, w, 3)), jnp.float32)
+    images = jnp.asarray(rng.normal(0, 1, (infer_bs, h, w, 3)),
+                         cfg.model.dtype)
     variables = {"params": s.params, "batch_stats": s.batch_stats}
     dfn = _detect_fn(cfg)
     # Measurement protocol for the axon tunnel:

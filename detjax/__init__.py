@@ -77,6 +77,14 @@ def detect_int8(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def detect_u8(*args, **kwargs):
+    """Fused normalize+detect over raw uint8 canvases (one jit region) —
+    see :func:`detjax.modeling.detect_u8`."""
+    from detjax.modeling import detect_u8 as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "ModelConfig",
     "TrainConfig",
@@ -94,4 +102,5 @@ __all__ = [
     "serve",
     "quantize_model",
     "detect_int8",
+    "detect_u8",
 ]

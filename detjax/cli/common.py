@@ -51,7 +51,8 @@ def load_calibration_batch(image_paths, cfg, normalize: bool = True):
         jnp.asarray(stacked),
         jnp.zeros((len(canvases), 1, 4), jnp.float32),
         jax.random.PRNGKey(0), hflip_prob=0.0,
-        mean=cfg.data.mean, std=cfg.data.std)
+        mean=cfg.data.mean, std=cfg.data.std,
+        out_dtype=cfg.model.dtype)
     return batch
 
 

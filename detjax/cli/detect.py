@@ -51,7 +51,8 @@ def main():
         x, _ = device_augment(jnp.asarray(canvas)[None],
                               jnp.zeros((1, 1, 4), jnp.float32),
                               jax.random.PRNGKey(0), hflip_prob=0.0,
-                              mean=cfg.data.mean, std=cfg.data.std)
+                              mean=cfg.data.mean, std=cfg.data.std,
+                              out_dtype=cfg.model.dtype)
         if args.int8:
             from detjax import quant
 

@@ -32,7 +32,7 @@ from detjax.data.transforms import (
 Array = jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("hflip_prob", "mean", "std"))
+@partial(jax.jit, static_argnames=("hflip_prob", "mean", "std", "out_dtype"))
 def device_augment(
     images_u8: Array,  # [B, H, W, 3] uint8
     gt_boxes: Array,  # [B, G, 4]
@@ -40,6 +40,7 @@ def device_augment(
     hflip_prob: float = 0.5,
     mean: Tuple[float, float, float] = tuple(IMAGENET_MEAN.tolist()),
     std: Tuple[float, float, float] = tuple(IMAGENET_STD.tolist()),
+    out_dtype: Any = jnp.float32,
 ) -> Tuple[Array, Array]:
     """Normalize + random per-image horizontal flip, fused on device.
 
@@ -47,6 +48,15 @@ def device_augment(
     SURVEY.md §3.4) keeps the input stream on-chip: uint8 H2D → one
     elementwise fusion on the VPU. ``mean``/``std`` come from
     ``cfg.data.mean/std`` (trace-time constants).
+
+    ``out_dtype``: the math is always fp32; the OUTPUT is cast to this
+    dtype inside the same fusion. Passing the model dtype (bf16) here is
+    bit-identical to normalizing in fp32 and letting the model cast —
+    the model's ``x.astype(self.dtype)`` becomes a no-op — but halves
+    the HBM traffic at the normalize→model jit boundary on the serving
+    and eval paths (the fp32 batch never materializes; the detect jit's
+    standalone input-cast copy disappears — docs/ROOFLINE.md round-3
+    inference trace, ``resnet.py`` astype row).
     """
     b, h, w, _ = images_u8.shape
     x = images_u8.astype(jnp.float32) / 255.0
@@ -58,7 +68,7 @@ def device_augment(
             w - gt_boxes[..., 2], gt_boxes[..., 1],
             w - gt_boxes[..., 0], gt_boxes[..., 3]], axis=-1)
         gt_boxes = jnp.where(flip[:, None, None], flipped, gt_boxes)
-    return x, gt_boxes
+    return x.astype(out_dtype), gt_boxes
 
 
 class DetectionIterator:

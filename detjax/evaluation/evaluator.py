@@ -20,7 +20,7 @@ import numpy as np
 from detjax.config import Config
 from detjax.data.pipeline import device_augment, make_eval_iterator
 from detjax.evaluation.coco_map import COCOMetric, EvalResult, GroundTruth
-from detjax.modeling import _detect_fn
+from detjax.modeling import _detect_fn, _detect_u8_fn
 
 
 import contextlib
@@ -73,16 +73,27 @@ def iter_detections(variables, dataset, cfg: Config,
     path (e.g. the int8 engine: ``lambda _, x: quant.detect_int8(qtree, x,
     cfg)``)."""
     detect = detect_fn if detect_fn is not None else _detect_fn(cfg)
+    # default fp path over uint8 batches: fused normalize+detect, one jit
+    # region (modeling._detect_u8_fn). Injected detect_fns (int8 engine,
+    # artifacts) keep the normalized-images contract.
+    detect_u8 = _detect_u8_fn(cfg) if detect_fn is None else None
     zeros_rng = jax.random.PRNGKey(0)
     n_done = 0
     for batch in make_eval_iterator(dataset, cfg):
         imgs = jnp.asarray(batch["images"])
         if imgs.dtype == jnp.uint8:
-            b = imgs.shape[0]
-            imgs, _ = device_augment(
-                imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
-                hflip_prob=0.0, mean=cfg.data.mean, std=cfg.data.std)
-        det = detect(variables, imgs)
+            if detect_u8 is not None:
+                det = detect_u8(variables, imgs)
+                imgs = None
+            else:
+                b = imgs.shape[0]
+                imgs, _ = device_augment(
+                    imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
+                    hflip_prob=0.0, mean=cfg.data.mean, std=cfg.data.std,
+                    out_dtype=cfg.model.dtype)
+                det = detect(variables, imgs)
+        else:
+            det = detect(variables, imgs)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)

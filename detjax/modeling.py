@@ -89,3 +89,37 @@ def detect(variables, images, preset: str = "retinanet_r50_640",
     if images.ndim == 3:
         images = images[None]
     return _detect_fn(cfg)(variables, images)
+
+
+@functools.lru_cache(maxsize=8)
+def _detect_u8_fn(cfg: Config):
+    """Fused normalize+detect: [B,H,W,3] uint8 canvases → Detections in
+    ONE jit region. The serving path's production shape: uint8 H2D (4×
+    fewer bytes than fp32), normalize fuses into the stem's input read,
+    no intermediate normalized batch in HBM, one dispatch instead of two
+    (the normalize-jit + detect-jit split costs a host dispatch plus a
+    write+read of the full batch at the boundary). Numerics are identical
+    to ``device_augment(out_dtype=model.dtype)`` + :func:`detect`: fp32
+    normalize math, one cast to the model dtype."""
+    inner = _detect_fn(cfg)
+    mean = tuple(cfg.data.mean)
+    std = tuple(cfg.data.std)
+    dtype = cfg.model.dtype
+
+    @jax.jit
+    def run(variables, canvases_u8) -> Detections:
+        x = canvases_u8.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+        return inner(variables, x.astype(dtype))
+
+    return run
+
+
+def detect_u8(variables, canvases_u8, preset: str = "retinanet_r50_640",
+              **overrides) -> Detections:
+    """:func:`detect` over RAW uint8 letterboxed canvases — normalization
+    (``cfg.data.mean/std``) happens inside the same jit region."""
+    cfg = preset if isinstance(preset, Config) else get_config(preset, **overrides)
+    if canvases_u8.ndim == 3:
+        canvases_u8 = canvases_u8[None]
+    return _detect_u8_fn(cfg)(variables, canvases_u8)

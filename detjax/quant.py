@@ -166,7 +166,14 @@ class _Int8Mode:
         self.dtype = dtype
 
     def _apply(self, path, site, x: Union[Array, QTensor], stride):
-        w_i8, ws, b = (self.q["weights"][path][k] for k in ("w", "ws", "b"))
+        node = self.q["weights"][path]
+        if "w16" in node:  # bf16 island (stem): int8 buys nothing at C=3
+            if isinstance(x, QTensor):
+                x = self.dequant(x)
+            y = _conv(x.astype(self.dtype), node["w16"].astype(self.dtype),
+                      stride)
+            return y + node["b"].astype(self.dtype)
+        w_i8, ws, b = (node[k] for k in ("w", "ws", "b"))
         if isinstance(x, QTensor):
             xq, sx = x.q, x.s  # producer already quantized — half-byte HBM read
         else:
@@ -194,12 +201,17 @@ class _Int8Mode:
             return (x.q.astype(jnp.float32) * x.s).astype(self.dtype)
         return x
 
-    def maxpool(self, x: QTensor) -> QTensor:
+    def maxpool(self, x: Union[Array, QTensor]) -> Union[Array, QTensor]:
         # int8 max == fp max order (s > 0); pool stays in the int8 domain
-        return QTensor(
-            lax.reduce_window(x.q, jnp.int8(-128), lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0))),
-            x.s)
+        if isinstance(x, QTensor):
+            return QTensor(
+                lax.reduce_window(x.q, jnp.int8(-128), lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1),
+                                  ((0, 0), (1, 1), (1, 1), (0, 0))),
+                x.s)
+        return lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                                 (1, 2, 2, 1),
+                                 ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
 def nn_relu(x: Array) -> Array:
@@ -217,8 +229,13 @@ def _backbone_forward(mode, cfg: Config, images: Array) -> Dict[int, Array]:
     block, stage_sizes = RESNET_SPECS[m.backbone_depth]
     x = images.astype(mode.dtype)
     x = mode.cbr("backbone/conv1", "backbone/conv1", x, stride=2)
+    # pool BEFORE the requant: relu+max-pool preserve the global abs-max,
+    # so the "conv1@out" calibration scale is identical at either point,
+    # but quantizing after the pool touches 4× fewer elements (160² vs
+    # 320² — the int8 stem was the engine's single largest op,
+    # docs/ROOFLINE.md int8 trace).
+    x = mode.maxpool(x)  # 3x3 s2 pad1
     x = mode.requant("backbone/conv1@out", x)
-    x = mode.maxpool(x)  # 3x3 s2 pad1, scale-preserving in int8
     feats: Dict[int, Array] = {}
     filters = (64, 128, 256, 512)
     for stage, (size, f) in enumerate(zip(stage_sizes, filters)):
@@ -385,6 +402,15 @@ def quantize(variables, cfg: Config, act_scales: Dict[str, np.ndarray],
                     w, b = k, np.asarray(node["bias"], np.float32)
                 else:
                     w, b = k, np.zeros(k.shape[-1], np.float32)
+                if path == "backbone/conv1":
+                    # the stem stays bf16: a C=3 conv gains nothing from
+                    # the int8 MXU rate, and skipping it removes the input
+                    # quantize plus the 320²-output requant (both pure HBM
+                    # cost — docs/ROOFLINE.md int8 trace). BN stays folded.
+                    weights[path] = {
+                        "w16": jnp.asarray(w, dtype=jnp.bfloat16),
+                        "b": jnp.asarray(b, dtype=jnp.float32)}
+                    continue
                 ws = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
                 w_i8 = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
                 weights[path] = {"w": jnp.asarray(w_i8),
@@ -444,3 +470,30 @@ def detect_int8(qtree, images: Array, cfg: Config):
     if images.ndim == 3:
         images = images[None]
     return _detect_int8_fn(cfg)(qtree, images)
+
+
+@functools.lru_cache(maxsize=8)
+def _detect_int8_u8_fn(cfg: Config):
+    """Fused normalize + int8 detect over raw uint8 canvases, one jit
+    region — the int8 serving path's analog of
+    :func:`detjax.modeling._detect_u8_fn` (see there for why)."""
+    inner = _detect_int8_fn(cfg)
+    mean = tuple(cfg.data.mean)
+    std = tuple(cfg.data.std)
+    dtype = cfg.model.dtype
+
+    @jax.jit
+    def run(qtree, canvases_u8):
+        x = canvases_u8.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+        return inner(qtree, x.astype(dtype))
+
+    return run
+
+
+def detect_int8_u8(qtree, canvases_u8: Array, cfg: Config):
+    """:func:`detect_int8` over RAW uint8 letterboxed canvases —
+    normalization happens inside the same jit region."""
+    if canvases_u8.ndim == 3:
+        canvases_u8 = canvases_u8[None]
+    return _detect_int8_u8_fn(cfg)(qtree, canvases_u8)

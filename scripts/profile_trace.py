@@ -58,6 +58,17 @@ def classify(src: str, expr: str, category: str) -> str:
     if "ops/nms.py" in src or "kernels/nms" in src \
             or "kernels/postprocess.py" in src or "ops/detect" in src:
         return "postprocess"
+    if "detjax/quant.py" in src:
+        # int8 engine traversal: bucket by output spatial size (head
+        # towers share 80²..5² with backbone stages — read the top-op
+        # exprs for the fine split)
+        for dim, region in ((",320,320,", "int8@320"), (",160,160,", "int8@160"),
+                            (",80,80,", "int8@80"), (",40,40,", "int8@40"),
+                            (",20,20,", "int8@20"), (",10,10,", "int8@10"),
+                            (",5,5,", "int8@5")):
+            if dim in expr:
+                return region
+        return "int8-other"
     if "models/resnet.py" in src or "flax" in src and "pool" in expr:
         # split the backbone by spatial resolution in the op text:
         # stem ops run at 320², layer1 at 160², layer2 80², layer3 40²,
@@ -90,13 +101,23 @@ def capture_trace(steps: int, mode: str = "train",
     g = cfg.train.max_gt
     rng = np.random.default_rng(0)
 
-    if mode == "infer":
+    if mode in ("infer", "infer-int8"):
         from detjax.modeling import _detect_fn, build_model
 
         _, variables = build_model(cfg)
-        dfn = _detect_fn(cfg)
+        # production parity: the serving/eval normalize fusion emits the
+        # MODEL dtype (pipeline.device_augment out_dtype), so the detect
+        # jit never sees an fp32 batch or its standalone astype copy
         images = jnp.asarray(rng.normal(0, 1, (infer_bs, h, w, 3)),
-                             jnp.float32)
+                             cfg.model.dtype)
+        if mode == "infer-int8":
+            from detjax.quant import _detect_int8_fn, quantize_model
+
+            qtree = quantize_model(variables, cfg, images)
+            int8_fn = _detect_int8_fn(cfg)
+            dfn = lambda v, im: int8_fn(qtree, im)  # noqa: E731
+        else:
+            dfn = _detect_fn(cfg)
         np.asarray(dfn(variables, images).scores)  # compile
         outs = [dfn(variables, images).scores for _ in range(4)]  # warm
         np.asarray(outs[-1])
@@ -153,7 +174,8 @@ def main():
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--xplane", default=None,
                     help="parse an existing xplane.pb instead of tracing")
-    ap.add_argument("--mode", default="train", choices=("train", "infer"),
+    ap.add_argument("--mode", default="train",
+                    choices=("train", "infer", "infer-int8"),
                     help="trace the train step or the fused detect path")
     ap.add_argument("--infer-bs", type=int, default=8)
     args = ap.parse_args()

@@ -249,6 +249,24 @@ def test_device_augment_no_flip_identity():
                                atol=1e-5)
 
 
+def test_device_augment_out_dtype_bit_identical():
+    """out_dtype=bf16 must equal fp32-normalize-then-cast exactly: the
+    math stays fp32, only the output is cast — so feeding the model
+    dtype from the normalize fusion is numerics-free (pipeline.py)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (2, 16, 24, 3)).astype(np.uint8)
+    boxes = np.zeros((2, 1, 4), np.float32)
+    x32, _ = device_augment(jnp.asarray(img), jnp.asarray(boxes),
+                            jax.random.PRNGKey(7), hflip_prob=0.5)
+    x16, _ = device_augment(jnp.asarray(img), jnp.asarray(boxes),
+                            jax.random.PRNGKey(7), hflip_prob=0.5,
+                            out_dtype=jnp.bfloat16)
+    assert x16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(x32.astype(jnp.bfloat16), dtype=np.float32),
+        np.asarray(x16, dtype=np.float32))
+
+
 def test_threaded_iterator_deterministic_and_ordered():
     """workers>1 must preserve order and be run-to-run deterministic
     (per-example RNG keyed by (seed, epoch, index))."""

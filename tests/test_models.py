@@ -189,3 +189,32 @@ def test_dot1x1_detector_param_tree_unchanged():
     assert jax.tree.structure(v_off) == jax.tree.structure(v_dw)
     for a, b in zip(jax.tree.leaves(v_off), jax.tree.leaves(v_dw)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_detect_u8_matches_normalize_then_detect(r50_small):
+    """detect_u8 (fused normalize+detect, one jit region — the serving
+    path) must equal device_augment(out_dtype=model dtype) + detect
+    EXACTLY: both run fp32 normalize math and a single cast to the model
+    dtype before the identical detect graph."""
+    from detjax.data.pipeline import device_augment
+    from detjax.modeling import detect, detect_u8
+
+    cfg, _, variables = r50_small
+    canvases = np.random.default_rng(11).integers(
+        0, 256, (2, 128, 128, 3), np.uint8)
+    got = detect_u8(variables, jnp.asarray(canvases), cfg)
+
+    x, _ = device_augment(jnp.asarray(canvases),
+                          jnp.zeros((2, 1, 4), jnp.float32),
+                          jax.random.PRNGKey(0), hflip_prob=0.0,
+                          mean=cfg.data.mean, std=cfg.data.std,
+                          out_dtype=cfg.model.dtype)
+    want = detect(variables, x, cfg)
+    np.testing.assert_array_equal(np.asarray(got.boxes),
+                                  np.asarray(want.boxes))
+    np.testing.assert_array_equal(np.asarray(got.scores),
+                                  np.asarray(want.scores))
+    np.testing.assert_array_equal(np.asarray(got.labels),
+                                  np.asarray(want.labels))
+    np.testing.assert_array_equal(np.asarray(got.num_valid),
+                                  np.asarray(want.num_valid))

@@ -50,9 +50,13 @@ def test_quantize_tree_wellformed():
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     qtree = quant.quantize_model(variables, cfg, x)
     w = qtree["weights"]["backbone/conv1"]
+    # the stem is a bf16 island (C=3 conv — int8 buys nothing, the
+    # requant traffic costs ~1.5 ms/batch; quant.py quantize())
+    assert w["w16"].dtype == jnp.bfloat16
+    assert w["b"].shape == (64,)   # folded BN bias (conv had none)
+    w = qtree["weights"]["backbone/layer1_block0/conv1"]
     assert w["w"].dtype == jnp.int8
     assert w["ws"].shape == (64,)  # per-output-channel scales
-    assert w["b"].shape == (64,)   # folded BN bias (conv had none)
     # every conv kernel in params has a quantized counterpart
     assert "backbone/layer2_block0/downsample_conv" in qtree["weights"]
     assert "fpn/lateral_p3" in qtree["weights"]
