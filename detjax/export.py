@@ -36,6 +36,7 @@ def export_detect(
     batch_size: int = 1,
     platforms: Optional[Sequence[str]] = None,
     calibration=None,
+    input_format: str = "fp32",
     **overrides,
 ) -> "jax.export.Exported":
     """Export the fused detect step with ``variables`` baked in.
@@ -45,12 +46,23 @@ def export_detect(
     exported instead — int8 weights and activation scales baked in — for
     the 2x-int8-MXU serving path.
 
+    ``input_format``: ``"fp32"`` takes normalized [B,H,W,3] fp32 images;
+    ``"u8"`` takes RAW uint8 letterboxed canvases and fuses the
+    ``cfg.data.mean/std`` normalization into the artifact itself — the
+    serving-host analog of :func:`detjax.modeling.detect_u8` (one dispatch,
+    4× fewer H2D bytes, no normalize graph on the host). The input
+    signature is self-describing: loaders read the baked dtype back via
+    :func:`load_detect`'s ``in_dtype``.
+
     ``platforms=None`` lowers for the current default backend. Pass e.g.
     ``("tpu",)`` explicitly to cross-lower from a CPU host; note the Pallas
     NMS kernel is chosen by the trace-time default backend, so a cross-
     lowered artifact uses the (bit-identical) lax NMS path.
     """
     cfg = cfg if isinstance(cfg, Config) else get_config(cfg, **overrides)
+    if input_format not in ("fp32", "u8"):
+        raise ValueError(f"input_format must be 'fp32' or 'u8', "
+                         f"got {input_format!r}")
     h, w = cfg.model.image_size
 
     if calibration is not None:
@@ -62,7 +74,21 @@ def export_detect(
     else:
         run = _detect_fn(cfg)
         fn = jax.jit(lambda images: run(variables, images))
-    spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
+    if input_format == "u8":
+        mean = tuple(cfg.data.mean)
+        std = tuple(cfg.data.std)
+        dtype = cfg.model.dtype
+        base = fn
+
+        @jax.jit
+        def fn(canvases_u8):
+            x = canvases_u8.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(mean, jnp.float32)) \
+                / jnp.asarray(std, jnp.float32)
+            return base(x.astype(dtype))
+
+    in_dtype = jnp.uint8 if input_format == "u8" else jnp.float32
+    spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), in_dtype)
     return jax.export.export(
         fn, platforms=list(platforms) if platforms else None)(spec)
 
@@ -70,10 +96,12 @@ def export_detect(
 def save_detect(path: str, variables, cfg: Config | str = "retinanet_r50_640",
                 batch_size: int = 1,
                 platforms: Optional[Sequence[str]] = None,
-                calibration=None, **overrides) -> None:
+                calibration=None, input_format: str = "fp32",
+                **overrides) -> None:
     """Serialize an exported detect artifact to ``path`` (one file)."""
     exp = export_detect(variables, cfg, batch_size, platforms,
-                        calibration=calibration, **overrides)
+                        calibration=calibration, input_format=input_format,
+                        **overrides)
     with open(path, "wb") as f:
         f.write(exp.serialize())
 
@@ -82,8 +110,19 @@ def load_detect(path: str) -> Callable[[jax.Array], Detections]:
     """Load a serialized artifact → callable ``images -> Detections``.
 
     The returned callable is the rehydrated compiled module; wrap in
-    ``jax.jit`` implicitly via ``.call`` (jax caches the executable).
+    ``jax.jit`` implicitly via ``.call`` (jax caches the executable). The
+    artifact's baked input signature is exposed on the callable as
+    ``in_dtype`` / ``in_shape`` (uint8 ⇔ exported with
+    ``input_format="u8"`` — raw canvases, normalization inside), so hosts
+    can feed it without out-of-band metadata.
     """
     with open(path, "rb") as f:
         exp = jax.export.deserialize(f.read())
-    return exp.call
+
+    def run(images):
+        return exp.call(images)
+
+    aval = exp.in_avals[0]
+    run.in_dtype = jnp.dtype(aval.dtype)
+    run.in_shape = tuple(aval.shape)
+    return run

@@ -232,12 +232,12 @@ class DetectionServer:
         rng = jax.random.PRNGKey(0)
         mean, std = cfg.data.mean, cfg.data.std
 
-        # fp/int8 consume the model dtype directly (both cast on entry, so
         # fp/int8 run normalize+detect as ONE jit region over raw uint8
         # canvases (modeling.detect_u8 / quant.detect_int8_u8): one
         # dispatch, no normalized batch materialized in HBM. A StableHLO
-        # artifact has a baked fp32 input signature (export.py input
-        # spec), so its path keeps the separate normalize jit.
+        # artifact exported with input_format="u8" gets the same path
+        # (normalize baked in); a legacy fp32-signature artifact keeps
+        # the separate normalize jit.
         def _normalize(canvases_u8):  # artifact engine + PTQ calibration
             x = jnp.asarray(canvases_u8)
             boxes = jnp.zeros((x.shape[0], 1, 4), jnp.float32)
@@ -277,7 +277,12 @@ class DetectionServer:
             from detjax.export import load_detect
 
             _artifact = load_detect(engine)
-            run = lambda x_u8: _artifact(_normalize(x_u8))
+            if _artifact.in_dtype == jnp.uint8:
+                # exported with input_format="u8": normalization is baked
+                # into the artifact — same one-dispatch path as fp/int8
+                run = _artifact
+            else:  # legacy fp32-signature artifact: normalize jit on host
+                run = lambda x_u8: _artifact(_normalize(x_u8))
 
         def dispatch_batch(canvases_u8: np.ndarray):
             # async: jit dispatch returns device handles immediately, so

@@ -103,3 +103,57 @@ def test_export_rejects_wrong_shape(small_setup):
     bad = jnp.zeros((3, 64, 64, 3), jnp.float32)
     with pytest.raises(ValueError):
         exp.call(bad)
+
+
+def test_export_u8_input_format(small_setup, tmp_path):
+    """input_format="u8": the artifact's input signature is uint8 (exposed
+    via load_detect's in_dtype), normalization is baked into the graph,
+    and the output equals the live fused detect_u8 path exactly (fp32
+    model dtype — same math, separately lowered)."""
+    from detjax.modeling import detect_u8
+
+    cfg, variables, _ = small_setup
+    canvases = jnp.asarray(np.random.default_rng(21).integers(
+        0, 256, (2, 64, 64, 3), np.uint8))
+    path = str(tmp_path / "detect_u8.stablehlo")
+    save_detect(path, variables, cfg, batch_size=2, input_format="u8")
+    served = load_detect(path)
+    assert served.in_dtype == jnp.uint8
+    assert served.in_shape == (2, 64, 64, 3)
+    out = served(canvases)
+    ref = detect_u8(variables, canvases, cfg)
+    np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                  np.asarray(ref.num_valid))
+    np.testing.assert_allclose(np.asarray(out.scores),
+                               np.asarray(ref.scores), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.labels),
+                                  np.asarray(ref.labels))
+    # legacy fp32 artifacts still advertise their signature
+    path32 = str(tmp_path / "detect_fp32.stablehlo")
+    save_detect(path32, variables, cfg, batch_size=2)
+    assert load_detect(path32).in_dtype == jnp.float32
+
+    with pytest.raises(ValueError, match="input_format"):
+        export_detect(variables, cfg, batch_size=1, input_format="u16")
+
+
+def test_export_u8_int8_engine(small_setup, tmp_path):
+    """u8 input format composes with the int8 engine export: uint8
+    signature, int8 graph, equals the live detect_int8_u8 path."""
+    from detjax import quant
+
+    cfg, variables, images = small_setup
+    canvases = jnp.asarray(np.random.default_rng(22).integers(
+        0, 256, (2, 64, 64, 3), np.uint8))
+    path = str(tmp_path / "detect_int8_u8.stablehlo")
+    save_detect(path, variables, cfg, batch_size=2, calibration=images,
+                input_format="u8")
+    served = load_detect(path)
+    assert served.in_dtype == jnp.uint8
+    out = served(canvases)
+    qtree = quant.quantize_model(variables, cfg, images)
+    ref = quant.detect_int8_u8(qtree, canvases, cfg)
+    np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                  np.asarray(ref.num_valid))
+    np.testing.assert_allclose(np.asarray(out.scores),
+                               np.asarray(ref.scores), rtol=1e-3, atol=1e-4)

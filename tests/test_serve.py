@@ -230,6 +230,11 @@ def test_engine_variants_agree(tmp_path):
     _, variables = build_model(cfg)
     path = str(tmp_path / "detect.stablehlo")
     save_detect(path, variables, cfg, batch_size=2)
+    # u8-signature artifact (normalization baked in): the server must
+    # detect the uint8 input via load_detect().in_dtype and feed raw
+    # canvases straight through (one dispatch, no normalize jit)
+    path_u8 = str(tmp_path / "detect_u8.stablehlo")
+    save_detect(path_u8, variables, cfg, batch_size=2, input_format="u8")
 
     canvas = np.random.default_rng(5).integers(0, 256, (64, 64, 3), np.uint8)
     # explicit uint8 calibration canvases (the --int8-calibrate path); the
@@ -237,7 +242,7 @@ def test_engine_variants_agree(tmp_path):
     calib = np.random.default_rng(6).integers(0, 256, (3, 64, 64, 3),
                                               np.uint8)
     counts = {}
-    for engine in ("fp", "int8", path):
+    for engine in ("fp", "int8", path, path_u8):
         srv = DetectionServer(variables, cfg, engine=engine, batch_size=2,
                               score_threshold=0.0,
                               calibration=calib if engine == "int8" else None)
@@ -246,6 +251,7 @@ def test_engine_variants_agree(tmp_path):
         assert boxes.shape == (10, 4) and nv >= 0
         srv.batcher.close()
     assert counts["fp"] == counts[path]  # same graph, relowered
+    assert counts["fp"] == counts[path_u8]
 
     with pytest.raises(ValueError, match="requires calibration"):
         DetectionServer(variables, cfg, engine="int8", batch_size=2,
