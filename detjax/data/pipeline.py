@@ -32,6 +32,20 @@ from detjax.data.transforms import (
 Array = jnp.ndarray
 
 
+def normalize_u8(images_u8: Array, mean, std, out_dtype=jnp.float32) -> Array:
+    """THE uint8→normalized-image math, traceable inside any jit: fp32
+    ``/255 → -mean → /std``, one cast to ``out_dtype`` at the end. The
+    single definition shared by :func:`device_augment`, the fused
+    detect-over-uint8 paths (``modeling._detect_u8_fn``,
+    ``quant._detect_int8_u8_fn``) and the u8-signature StableHLO export
+    (``export.export_detect``) — so the live fp path, the int8 engine and
+    serialized artifacts can never normalize differently."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(tuple(mean), jnp.float32)) \
+        / jnp.asarray(tuple(std), jnp.float32)
+    return x.astype(out_dtype)
+
+
 @partial(jax.jit, static_argnames=("hflip_prob", "mean", "std", "out_dtype"))
 def device_augment(
     images_u8: Array,  # [B, H, W, 3] uint8
@@ -59,8 +73,7 @@ def device_augment(
     inference trace, ``resnet.py`` astype row).
     """
     b, h, w, _ = images_u8.shape
-    x = images_u8.astype(jnp.float32) / 255.0
-    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    x = normalize_u8(images_u8, mean, std)  # keep fp32 through the flip
     if hflip_prob > 0:
         flip = jax.random.bernoulli(rng, hflip_prob, (b,))
         x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)

@@ -75,6 +75,8 @@ def export_detect(
         run = _detect_fn(cfg)
         fn = jax.jit(lambda images: run(variables, images))
     if input_format == "u8":
+        from detjax.data.pipeline import normalize_u8
+
         mean = tuple(cfg.data.mean)
         std = tuple(cfg.data.std)
         dtype = cfg.model.dtype
@@ -82,10 +84,7 @@ def export_detect(
 
         @jax.jit
         def fn(canvases_u8):
-            x = canvases_u8.astype(jnp.float32) / 255.0
-            x = (x - jnp.asarray(mean, jnp.float32)) \
-                / jnp.asarray(std, jnp.float32)
-            return base(x.astype(dtype))
+            return base(normalize_u8(canvases_u8, mean, std, dtype))
 
     in_dtype = jnp.uint8 if input_format == "u8" else jnp.float32
     spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), in_dtype)

@@ -101,6 +101,8 @@ def _detect_u8_fn(cfg: Config):
     write+read of the full batch at the boundary). Numerics are identical
     to ``device_augment(out_dtype=model.dtype)`` + :func:`detect`: fp32
     normalize math, one cast to the model dtype."""
+    from detjax.data.pipeline import normalize_u8
+
     inner = _detect_fn(cfg)
     mean = tuple(cfg.data.mean)
     std = tuple(cfg.data.std)
@@ -108,9 +110,7 @@ def _detect_u8_fn(cfg: Config):
 
     @jax.jit
     def run(variables, canvases_u8) -> Detections:
-        x = canvases_u8.astype(jnp.float32) / 255.0
-        x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
-        return inner(variables, x.astype(dtype))
+        return inner(variables, normalize_u8(canvases_u8, mean, std, dtype))
 
     return run
 

@@ -40,6 +40,10 @@ class Detector(nn.Module):
         fused = (cfg.fused_backbone == "on"
                  or (cfg.fused_backbone == "auto"
                      and jax.default_backend() == "tpu"))
+        if cfg.dot_1x1 not in ("off", "on", "auto", "full", "dw"):
+            raise ValueError(
+                f"model.dot_1x1 must be one of off/on/auto/full/dw, "
+                f"got {cfg.dot_1x1!r}")
         dot_1x1 = {"on": "full", "auto": "off"}.get(cfg.dot_1x1,
                                                     cfg.dot_1x1)
         feats = ResNet(stage_sizes=stage_sizes, block=block, dtype=dtype,

@@ -219,8 +219,18 @@ def _select_candidates(
     if scores_are_logits:
         import math
 
-        t = min(max(float(score_threshold), 1e-8), 1.0 - 1e-8)
-        score_threshold = math.log(t) - math.log1p(-t)
+        # exact transport of the probability threshold into logit space,
+        # INCLUDING the extremes: t<=0 must keep every pair (the sigmoid
+        # path's `p > 0` is always true), t>=1 must keep none — ±inf
+        # cutoffs give exactly that, so no clamp that would silently
+        # pre-suppress at t=0 or pass saturated logits at t=1.
+        t = float(score_threshold)
+        if t <= 0.0:
+            score_threshold = -math.inf
+        elif t >= 1.0:
+            score_threshold = math.inf
+        else:
+            score_threshold = math.log(t) - math.log1p(-t)
     if exact or a * k <= _EXACT_PAIRS_MAX:
         flat = jnp.where(scores > score_threshold, scores, NEG_INF)
         flat = flat.astype(jnp.float32).reshape(-1)

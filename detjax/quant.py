@@ -477,6 +477,8 @@ def _detect_int8_u8_fn(cfg: Config):
     """Fused normalize + int8 detect over raw uint8 canvases, one jit
     region — the int8 serving path's analog of
     :func:`detjax.modeling._detect_u8_fn` (see there for why)."""
+    from detjax.data.pipeline import normalize_u8
+
     inner = _detect_int8_fn(cfg)
     mean = tuple(cfg.data.mean)
     std = tuple(cfg.data.std)
@@ -484,9 +486,7 @@ def _detect_int8_u8_fn(cfg: Config):
 
     @jax.jit
     def run(qtree, canvases_u8):
-        x = canvases_u8.astype(jnp.float32) / 255.0
-        x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
-        return inner(qtree, x.astype(dtype))
+        return inner(qtree, normalize_u8(canvases_u8, mean, std, dtype))
 
     return run
 

@@ -129,6 +129,7 @@ class MicroBatcher:
             if slot is not None:
                 slot["error"] = RuntimeError("MicroBatcher closed")
                 slot["done"].set()
+                self.completed += 1  # keep /healthz submitted==completed
 
     def _finish(self, pending):
         """Block on a dispatched batch's handle and release its waiters."""
@@ -277,6 +278,13 @@ class DetectionServer:
             from detjax.export import load_detect
 
             _artifact = load_detect(engine)
+            want = (batch_size, h, w, 3)
+            if _artifact.in_shape != want:
+                raise ValueError(
+                    f"artifact {engine!r} was exported for input shape "
+                    f"{_artifact.in_shape}, but this server feeds {want} "
+                    f"(--batch-size / preset image_size must match the "
+                    f"export)")
             if _artifact.in_dtype == jnp.uint8:
                 # exported with input_format="u8": normalization is baked
                 # into the artifact — same one-dispatch path as fp/int8

@@ -56,8 +56,11 @@ def main():
                          daemon=True)
     t.start()
     # serve() compiles the engine BEFORE binding (cold-start off the
-    # request path) — minutes-scale on a cold box
-    assert ready.wait(3600), "server never became ready"
+    # request path) — minutes-scale on a cold box; poll so a dead server
+    # thread (warmup/compile failure) surfaces immediately, not in 1 h
+    while not ready.wait(10):
+        assert t.is_alive(), "server thread died during warmup/startup"
+
     url = f"http://127.0.0.1:{srv.port}/detect"
 
     rng = np.random.default_rng(0)

@@ -47,14 +47,17 @@ SAVE_AT = 3
 
 
 def _digest(state) -> str:
-    """MD5 over every param/opt leaf (host-fetched) + the step counter —
-    the bit-exactness fingerprint."""
+    """MD5 over every param/batch_stats/opt leaf (host-fetched) + the step
+    counter — the bit-exactness fingerprint. batch_stats is in the hash so
+    a restore defect in the BN-statistics subtree can't slip past the
+    save/kill/restart gate."""
     import numpy as np
     import jax
 
     h = hashlib.md5()
-    for leaf in jax.tree.leaves(state.params) + jax.tree.leaves(
-            state.opt_state):
+    for leaf in (jax.tree.leaves(state.params)
+                 + jax.tree.leaves(state.batch_stats)
+                 + jax.tree.leaves(state.opt_state)):
         h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
     h.update(str(int(np.asarray(state.step))).encode())
     return h.hexdigest()

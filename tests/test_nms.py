@@ -184,6 +184,52 @@ def test_logit_domain_selection_matches_probability_domain(rng, monkeypatch):
                                        rtol=0, atol=1e-5)
 
 
+
+def test_logit_domain_threshold_extremes(rng):
+    """The probability→logit threshold transport must be exact at the
+    extremes (ops/nms.py): t=0 keeps every pair (the sigmoid path's
+    ``p > 0`` is always true — no hidden logit(1e-8) pre-suppression),
+    t=1 keeps none. Regression for the clamp that silently suppressed
+    pairs below logit≈-18.4 at t=0."""
+    import jax
+    from detjax.ops.nms import fused_detect_postprocess
+
+    b, a, k = 1, 64, 4
+    anchors = _boxes_scores(rng, a)[0]
+    deltas = rng.normal(0, 0.3, (b, a, 4)).astype(np.float32)
+    common = dict(image_size=(256, 256), num_candidates=32,
+                  max_detections=16)
+
+    # t=0: every pair must survive selection on BOTH paths. Logits kept
+    # out of sigmoid saturation (|x|<16.6) — saturated blocks are exact
+    # 0.0/1.0 ties in probability space where candidate ORDER legitimately
+    # differs (documented caveat); the extremes property under test is the
+    # thresholding, not tie order.
+    logits = np.clip(rng.normal(0, 5, (b, a, k)), -12, 12).astype(np.float32)
+    probs = jax.nn.sigmoid(jnp.asarray(logits))
+    ref = fused_detect_postprocess(
+        jnp.asarray(deltas), jnp.asarray(anchors), probs,
+        score_threshold=0.0, **common)
+    out = fused_detect_postprocess(
+        jnp.asarray(deltas), jnp.asarray(anchors), jnp.asarray(logits),
+        scores_are_logits=True, score_threshold=0.0, **common)
+    np.testing.assert_array_equal(np.asarray(out.num_valid),
+                                  np.asarray(ref.num_valid))
+    nv = int(np.asarray(ref.num_valid)[0])
+    assert nv == common["max_detections"] // 2 or nv > 0  # nothing suppressed
+    np.testing.assert_array_equal(np.asarray(out.labels[0, :nv]),
+                                  np.asarray(ref.labels[0, :nv]))
+
+    # t=1: nothing survives on either path, even with +saturated logits
+    # whose fp32 sigmoid is EXACTLY 1.0 (the old clamp passed these).
+    sat = rng.normal(0, 30, (b, a, k)).astype(np.float32)
+    for scores, is_logits in ((jax.nn.sigmoid(jnp.asarray(sat)), False),
+                              (jnp.asarray(sat), True)):
+        res = fused_detect_postprocess(
+            jnp.asarray(deltas), jnp.asarray(anchors), scores,
+            scores_are_logits=is_logits, score_threshold=1.0, **common)
+        assert int(np.asarray(res.num_valid)[0]) == 0
+
 def test_partial_topk_matches_exact_sort(rng, monkeypatch):
     """topk="partial" (TPU PartialReduce lowering; exact value multiset at
     recall 1.0) must give identical detections to topk="exact" on tie-free
