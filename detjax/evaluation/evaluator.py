@@ -78,22 +78,21 @@ def iter_detections(variables, dataset, cfg: Config,
     # artifacts) keep the normalized-images contract.
     detect_u8 = _detect_u8_fn(cfg) if detect_fn is None else None
     zeros_rng = jax.random.PRNGKey(0)
-    n_done = 0
-    for batch in make_eval_iterator(dataset, cfg):
+
+    def dispatch(batch):
+        # jit dispatch is async: returns device handles immediately
         imgs = jnp.asarray(batch["images"])
         if imgs.dtype == jnp.uint8:
             if detect_u8 is not None:
-                det = detect_u8(variables, imgs)
-                imgs = None
-            else:
-                b = imgs.shape[0]
-                imgs, _ = device_augment(
-                    imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
-                    hflip_prob=0.0, mean=cfg.data.mean, std=cfg.data.std,
-                    out_dtype=cfg.model.dtype)
-                det = detect(variables, imgs)
-        else:
-            det = detect(variables, imgs)
+                return detect_u8(variables, imgs)
+            b = imgs.shape[0]
+            imgs, _ = device_augment(
+                imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
+                hflip_prob=0.0, mean=cfg.data.mean, std=cfg.data.std,
+                out_dtype=cfg.model.dtype)
+        return detect(variables, imgs)
+
+    def finalize(det, batch):
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
@@ -106,6 +105,24 @@ def iter_detections(variables, dataset, cfg: Config,
             nv = int(num_valid[i])
             yield (img_id, boxes[i, :nv] / scale, scores[i, :nv],
                    labels[i, :nv])
+
+    # split-phase overlap (same pattern as serve.MicroBatcher): batch N+1
+    # is DISPATCHED before batch N's results are pulled to host, so the
+    # device computes N+1 while the host converts, matches and decodes N.
+    n_done = 0
+    pending = None
+    for batch in make_eval_iterator(dataset, cfg):
+        det = dispatch(batch)
+        if pending is not None:
+            for item in finalize(*pending):
+                yield item
+                n_done += 1
+                if max_images is not None and n_done >= max_images:
+                    return
+        pending = (det, batch)
+    if pending is not None:
+        for item in finalize(*pending):
+            yield item
             n_done += 1
             if max_images is not None and n_done >= max_images:
                 return
