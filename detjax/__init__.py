@@ -85,6 +85,14 @@ def detect_u8(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def detect_int8_u8(*args, **kwargs):
+    """Int8 engine over raw uint8 canvases (normalize fused in) — see
+    :func:`detjax.quant.detect_int8_u8`."""
+    from detjax.quant import detect_int8_u8 as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "ModelConfig",
     "TrainConfig",
@@ -103,4 +111,5 @@ __all__ = [
     "quantize_model",
     "detect_int8",
     "detect_u8",
+    "detect_int8_u8",
 ]
