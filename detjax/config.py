@@ -96,6 +96,14 @@ class TrainConfig:
     smooth_l1_beta: float = 1.0 / 9.0
     # Static max ground-truth boxes per image (padding with validity mask)
     max_gt: int = 100
+    # Gradient accumulation: split each batch into this many equal
+    # micro-batches inside ONE jit step (lax.scan), averaging grads before
+    # the clip+optimizer update. Because the detection loss is per-image
+    # normalized then batch-meaned (ops/losses.py), equal micro-batches
+    # make the accumulated gradient MATHEMATICALLY equal to the full-batch
+    # one — this trades peak activation memory for steps, letting bs=16
+    # effective batches train on memory classes that only fit bs=4.
+    grad_accum_steps: int = 1
     checkpoint_every_steps: int = 1000
     eval_every_steps: int = 5000
     seed: int = 0

@@ -151,13 +151,55 @@ def make_train_step(cfg: Config):
             box_std=cfg.model.box_std)
         return out.cls_loss + out.reg_loss, (new_stats, out.metrics)
 
+    accum = max(int(t.grad_accum_steps), 1)
+
+    def grads_of(params, batch_stats, batch, aug_rng):
+        """(loss, new_stats, metrics, grads) over one batch — full-batch
+        when accum == 1, else a lax.scan over ``accum`` equal micro-batches
+        with grads summed in carry (ONE extra params-sized buffer; no
+        [accum, ...] gradient stack ever materializes). Per-image loss
+        normalization (ops/losses.py) makes the averaged micro-grads
+        mathematically equal to the full-batch gradient."""
+        if accum == 1:
+            (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, batch, aug_rng)
+            return loss, new_stats, metrics, grads
+
+        b = batch["images"].shape[0]
+        if b % accum:
+            raise ValueError(
+                f"train.grad_accum_steps={accum} must divide the batch "
+                f"size ({b})")
+        micro = {k: v.reshape((accum, b // accum) + v.shape[1:])
+                 for k, v in batch.items()}
+        rngs = jax.random.split(aug_rng, accum)
+
+        def one(carry, xs):
+            stats, gsum, lsum, msum = carry
+            mb, rng = xs
+            (loss, (stats, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, stats, mb, rng)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            msum = jax.tree.map(jnp.add, msum, metrics)
+            return (stats, gsum, lsum + loss, msum), None
+
+        zero_g = jax.tree.map(jnp.zeros_like, params)
+        zero_m = {"num_pos": jnp.zeros(()), "cls_loss": jnp.zeros(()),
+                  "reg_loss": jnp.zeros(())}
+        (new_stats, gsum, lsum, msum), _ = jax.lax.scan(
+            one, (batch_stats, zero_g, jnp.zeros(()), zero_m),
+            (micro, rngs))
+        inv = 1.0 / accum
+        grads = jax.tree.map(lambda g: (g * inv).astype(g.dtype), gsum)
+        metrics = {k: v * inv for k, v in msum.items()}
+        return lsum * inv, new_stats, metrics, grads
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, Array]]:
         # deterministic per-step augmentation stream, no host RNG traffic
         aug_rng = jax.random.fold_in(jax.random.PRNGKey(t.seed), state.step)
-        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   aug_rng)
+        loss, new_stats, metrics, grads = grads_of(
+            state.params, state.batch_stats, batch, aug_rng)
         updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)

@@ -69,3 +69,41 @@ def test_empty_gt_batch_finite():
 def test_train_step_cached_per_config():
     cfg = _cfg()
     assert make_train_step(cfg) is make_train_step(cfg)
+
+
+def test_grad_accum_matches_full_batch():
+    """train.grad_accum_steps=2 must match the full-batch step to fp32
+    summation noise: the loss is per-image normalized then batch-meaned
+    (ops/losses.py), so averaging equal micro-batch grads IS the
+    full-batch gradient. fp32 dtype + float images (augment skipped) to
+    keep the comparison exact."""
+    kw = {"model.dtype": "float32", "model.backbone_depth": 18,
+          "train.batch_size": 4}
+    cfg1 = _cfg(**kw)
+    cfg2 = _cfg(**dict(kw, **{"train.grad_accum_steps": 2}))
+    s1 = make_train_state(cfg1, jax.random.PRNGKey(0))
+    s2 = make_train_state(cfg2, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)), jnp.float32),
+        "gt_boxes": jnp.asarray(
+            rng.uniform(0, 30, (4, 4, 2)).repeat(2, axis=-1) +
+            np.concatenate([np.zeros((4, 4, 2)), np.full((4, 4, 2), 20)],
+                           axis=-1).astype(np.float32), jnp.float32),
+        "gt_labels": jnp.asarray(rng.integers(0, 8, (4, 4)), jnp.int32),
+    }
+    n1, m1 = train_step(s1, batch)
+    n2, m2 = train_step(s2, batch)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    assert abs(float(m1["grad_norm"]) - float(m2["grad_norm"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(n1.params), jax.tree.leaves(n2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-5)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = _cfg(**{"model.dtype": "float32", "model.backbone_depth": 18,
+                  "train.batch_size": 2, "train.grad_accum_steps": 3})
+    s = make_train_state(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="grad_accum"):
+        train_step(s, _batch())
