@@ -96,3 +96,21 @@ def test_global_batch_from_local_single_process():
     assert g["images"].shape == (n, 4, 4, 3)
     assert len(g["images"].sharding.device_set) == n
     np.testing.assert_array_equal(np.asarray(g["images"]), local["images"])
+
+
+def test_parallel_step_with_grad_accum():
+    """grad_accum_steps composes with pjit DP: the batch is sharded on the
+    data axis AND scanned over micro-batches inside the same program; one
+    step runs, loss is finite, params stay replicated."""
+    cfg = _cfg(16)
+    cfg = get_config("coco_v5e8", **{
+        "model.image_size": (64, 64), "model.num_classes": 8,
+        "train.batch_size": 16, "train.max_gt": 4,
+        "train.grad_accum_steps": 2})
+    mesh = make_mesh()
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_parallel_train_step(cfg, mesh)
+    state, metrics = step(state, _batch(16))
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
