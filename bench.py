@@ -31,7 +31,34 @@ def _force(x) -> float:
     return float(np.asarray(x).reshape(-1)[0])
 
 
+def _backend_watchdog(timeout_s: float = 900.0):
+    """Fail FAST if the TPU backend can't initialize (the axon tunnel has
+    been observed UNAVAILABLE for hours): backend init hangs in C land, so
+    a worker thread probes jax.devices() while the main thread waits — on
+    timeout we print a diagnostic and hard-exit instead of wedging the
+    driver's bench run indefinitely."""
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "error": f"TPU backend failed to initialize within "
+                     f"{timeout_s:.0f}s (axon tunnel down?)"}),
+            file=sys.stderr, flush=True)
+        os._exit(1)
+
+
 def main():
+    _backend_watchdog()
     import jax
     import jax.numpy as jnp
     import numpy as np
