@@ -57,9 +57,14 @@ def load_calibration_batch(image_paths, cfg, normalize: bool = True):
 
 
 def load_variables(preset: str, ckpt_dir: str,
-                   overrides: Optional[dict] = None):
+                   overrides: Optional[dict] = None,
+                   use_ema: bool = False):
     """Build the preset config and restore inference variables from the
-    latest checkpoint → ``(cfg, {"params", "batch_stats"})``."""
+    latest checkpoint → ``(cfg, {"params", "batch_stats"})``.
+
+    ``use_ema``: serve the EMA shadow params (requires a checkpoint
+    written with ``train.ema_decay > 0``; pass the same override here so
+    the restore template carries the EMA subtree)."""
     import jax
 
     from detjax.config import get_config
@@ -69,4 +74,13 @@ def load_variables(preset: str, ckpt_dir: str,
     cfg = get_config(preset, **(overrides or {}))
     state = make_train_state(cfg, jax.random.PRNGKey(0))
     state = Checkpointer(ckpt_dir).restore(state)
+    if use_ema:
+        from detjax.train.step import ema_variables
+
+        if state.ema_params is None:
+            raise ValueError(
+                "--ema needs a checkpoint trained with train.ema_decay>0 "
+                "(and the same --set train.ema_decay=... on this command "
+                "so the restore template carries the EMA subtree)")
+        return cfg, ema_variables(state)
     return cfg, {"params": state.params, "batch_stats": state.batch_stats}

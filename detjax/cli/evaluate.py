@@ -22,6 +22,10 @@ def main():
                     help="evaluate through the int8 PTQ engine (calibrates "
                          "on the first eval batch) — the PTQ accuracy-"
                          "acceptance run")
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the EMA shadow params (checkpoint must "
+                         "be trained with train.ema_decay>0; pass the same "
+                         "--set train.ema_decay=... here)")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--set", action="append", dest="overrides")
@@ -33,7 +37,8 @@ def main():
     from detjax.evaluation.evaluator import run_voc_eval
 
     cfg, variables = load_variables(args.preset, args.ckpt_dir,
-                                    parse_overrides(args.overrides))
+                                    parse_overrides(args.overrides),
+                                    use_ema=args.ema)
     if args.synthetic:
         ds = SyntheticDetectionDataset(
             num_images=32, image_size=cfg.model.image_size,

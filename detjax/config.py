@@ -104,6 +104,12 @@ class TrainConfig:
     # one — this trades peak activation memory for steps, letting bs=16
     # effective batches train on memory classes that only fit bs=4.
     grad_accum_steps: int = 1
+    # Exponential moving average of params (0 = off). A standard
+    # production-detection accuracy lever the reference lacks: the EMA
+    # tree shadows params in TrainState (updated inside the same jit
+    # step), is checkpointed alongside, and serves via
+    # ``train.step.ema_variables(state)`` / the eval CLI's ``--ema``.
+    ema_decay: float = 0.0
     checkpoint_every_steps: int = 1000
     eval_every_steps: int = 5000
     seed: int = 0

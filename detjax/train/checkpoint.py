@@ -56,6 +56,8 @@ class Checkpointer:
         step = int(np.asarray(state.step))
         tree = {"step": state.step, "params": state.params,
                 "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+        if state.ema_params is not None:  # EMA shadow (train.ema_decay > 0)
+            tree["ema_params"] = state.ema_params
         items = {"state": ocp.args.StandardSave(tree)}
         if host:
             items["host"] = ocp.args.JsonSave(
@@ -93,6 +95,11 @@ class Checkpointer:
         template = {"step": state.step, "params": state.params,
                     "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state}
+        if state.ema_params is not None:
+            # EMA-enabled template: the checkpoint must carry the shadow
+            # tree (restoring a pre-EMA checkpoint with ema_decay>0 is a
+            # structure mismatch by design — start EMA from a fresh state)
+            template["ema_params"] = state.ema_params
         want_host = host_template is not None
 
         def _abstract(x):
@@ -119,7 +126,8 @@ class Checkpointer:
             restored = self._restore_legacy(step, abstract, host_template)
         new_state = state.replace(
             step=restored["step"], params=restored["params"],
-            batch_stats=restored["batch_stats"], opt_state=restored["opt_state"])
+            batch_stats=restored["batch_stats"], opt_state=restored["opt_state"],
+            ema_params=restored.get("ema_params", state.ema_params))
         if not want_host:
             return new_state
         host = dict(host_template)

@@ -39,6 +39,10 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     cfg: Config = struct.field(pytree_node=False)
+    # EMA shadow of params (None unless cfg.train.ema_decay > 0). None is
+    # a leafless pytree node, so the disabled default changes no tree
+    # structure (checkpoints, donation, digests all unaffected).
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -109,7 +113,16 @@ def make_train_state(preset, rng: Any = None, **overrides) -> TrainState:
         opt_state=tx.init(params),
         tx=tx,
         cfg=cfg,
+        ema_params=(jax.tree.map(jnp.copy, params)
+                    if cfg.train.ema_decay > 0 else None),
     )
+
+
+def ema_variables(state: TrainState):
+    """Inference variables using the EMA shadow params (falls back to the
+    live params when EMA is off)."""
+    params = state.ema_params if state.ema_params is not None else state.params
+    return {"params": params, "batch_stats": state.batch_stats}
 
 
 @functools.lru_cache(maxsize=8)
@@ -202,12 +215,18 @@ def make_train_step(cfg: Config):
             state.params, state.batch_stats, batch, aug_rng)
         updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = jnp.float32(t.ema_decay)
+            ema = jax.tree.map(
+                lambda e, p: (e * d + p.astype(jnp.float32) * (1 - d)
+                              ).astype(e.dtype), ema, params)
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
             step=state.step + 1, params=params,
-            batch_stats=new_stats, opt_state=opt_state)
+            batch_stats=new_stats, opt_state=opt_state, ema_params=ema)
         return new_state, metrics
 
     return step

@@ -107,3 +107,53 @@ def test_grad_accum_rejects_indivisible_batch():
     s = make_train_state(cfg, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="grad_accum"):
         train_step(s, _batch())
+
+
+def test_ema_params_follow_recurrence():
+    """train.ema_decay>0 keeps an EMA shadow updated inside the step:
+    after each step, ema == d*ema_prev + (1-d)*params_new exactly (fp32
+    math in-step). Disabled default keeps ema_params None (no pytree
+    structure change)."""
+    d = 0.9
+    cfg = _cfg(**{"model.dtype": "float32", "model.backbone_depth": 18,
+                  "train.ema_decay": d})
+    s = make_train_state(cfg, jax.random.PRNGKey(0))
+    assert s.ema_params is not None
+    ema = jax.tree.map(np.asarray, s.ema_params)
+    batch = _batch()
+    for _ in range(3):
+        s, _ = train_step(s, batch)
+        ema = jax.tree.map(
+            lambda e, p: (e * d + np.asarray(p, np.float32) * (1 - d)),
+            ema, s.params)
+    for want, got in zip(jax.tree.leaves(ema),
+                         jax.tree.leaves(s.ema_params)):
+        np.testing.assert_allclose(want, np.asarray(got), rtol=1e-6,
+                                   atol=1e-7)
+    # EMA lags the live params while training moves
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(s.ema_params),
+                             jax.tree.leaves(s.params))]
+    assert max(diffs) > 0
+
+    s_off = make_train_state(_cfg(**{"model.backbone_depth": 18}),
+                             jax.random.PRNGKey(0))
+    assert s_off.ema_params is None
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    from detjax.train.checkpoint import Checkpointer
+    from detjax.train.step import ema_variables
+
+    cfg = _cfg(**{"model.dtype": "float32", "model.backbone_depth": 18,
+                  "train.ema_decay": 0.5})
+    s = make_train_state(cfg, jax.random.PRNGKey(0))
+    s, _ = train_step(s, _batch())
+    ck = Checkpointer(str(tmp_path))
+    ck.save(s, wait=True)
+    s2 = ck.restore(make_train_state(cfg, jax.random.PRNGKey(1)))
+    for a, b in zip(jax.tree.leaves(s.ema_params),
+                    jax.tree.leaves(s2.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    v = ema_variables(s2)
+    assert "params" in v and "batch_stats" in v
