@@ -37,7 +37,12 @@ def _run(cfg, ds, steps, name, min_ap50):
     return variables
 
 
-def gate_quick():
+_QUICK_TRAINED = {}
+
+
+def _quick_setup():
+    """The quick-gate workload (6 classes @256px, 8 images) shared by the
+    quick/int8/export gates."""
     cfg = get_config("retinanet_r50_640", **{
         "model.image_size": (256, 256),
         "model.num_classes": 6,
@@ -52,7 +57,23 @@ def gate_quick():
     })
     ds = SyntheticDetectionDataset(num_images=8, image_size=(256, 256),
                                    num_classes=6, max_objects=3, seed=3)
-    _run(cfg, ds, 1500, "quick", 0.6)
+    return cfg, ds
+
+
+def _quick_trained(name: str):
+    """Train the quick-gate model ONCE per process (deterministic workload
+    — same reasoning as _hard_trained)."""
+    cfg, ds = _quick_setup()
+    if "v" not in _QUICK_TRAINED:
+        _QUICK_TRAINED["v"] = _run(cfg, ds, 1500, name, 0.6)
+    else:
+        print(f"{name}: reusing the trained quick-gate model "
+              f"(deterministic workload)")
+    return cfg, ds, _QUICK_TRAINED["v"]
+
+
+def gate_quick():
+    _quick_trained("quick")
     print("QUICK GATE PASSED")
 
 
@@ -189,21 +210,7 @@ def gate_int8():
     from detjax import quant
     from detjax.evaluation.evaluator import run_coco_eval
 
-    cfg = get_config("retinanet_r50_640", **{
-        "model.image_size": (256, 256),
-        "model.num_classes": 6,
-        "model.frozen_backbone_bn": False,
-        "train.batch_size": 8,
-        "train.max_gt": 8,
-        "train.learning_rate": 1e-3,
-        "train.lr_schedule": "constant",
-        "data.hflip_prob": 0.0,
-        "data.random_crop": False,
-        "eval.batch_size": 8,
-    })
-    ds = SyntheticDetectionDataset(num_images=8, image_size=(256, 256),
-                                   num_classes=6, max_objects=3, seed=3)
-    variables = _run(cfg, ds, 1500, "int8-fp-baseline", 0.6)
+    cfg, ds, variables = _quick_trained("int8-fp-baseline")
     fp = run_coco_eval(variables, ds, cfg)
     qtree = _quantize_on_eval_stream(variables, ds, cfg)
     q = run_coco_eval(variables, ds, cfg,
@@ -222,21 +229,7 @@ def gate_export():
     from detjax.export import load_detect, save_detect
     import tempfile, os
 
-    cfg = get_config("retinanet_r50_640", **{
-        "model.image_size": (256, 256),
-        "model.num_classes": 6,
-        "model.frozen_backbone_bn": False,
-        "train.batch_size": 8,
-        "train.max_gt": 8,
-        "train.learning_rate": 1e-3,
-        "train.lr_schedule": "constant",
-        "data.hflip_prob": 0.0,
-        "data.random_crop": False,
-        "eval.batch_size": 8,
-    })
-    ds = SyntheticDetectionDataset(num_images=8, image_size=(256, 256),
-                                   num_classes=6, max_objects=3, seed=3)
-    variables = _run(cfg, ds, 1500, "export-fp-baseline", 0.6)
+    cfg, ds, variables = _quick_trained("export-fp-baseline")
     fp = run_coco_eval(variables, ds, cfg)
 
     path = os.path.join(tempfile.mkdtemp(), "detect.stablehlo")
