@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve through the int8 PTQ engine (detjax/quant.py;"
                          " calibrates on the first input image)")
+    ap.add_argument("--ema", action="store_true",
+                    help="use the EMA shadow params (train.ema_decay>0 "
+                         "checkpoint; pass the same --set here)")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
     args = ap.parse_args()
@@ -38,7 +41,8 @@ def main():
     from detjax.utils.visualize import draw_detections
 
     cfg, variables = load_variables(args.preset, args.ckpt_dir,
-                                    parse_overrides(args.overrides))
+                                    parse_overrides(args.overrides),
+                                    use_ema=args.ema)
     names = (COCO_CLASSES if cfg.model.num_classes == len(COCO_CLASSES)
              else None)
 
