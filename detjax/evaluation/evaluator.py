@@ -65,13 +65,19 @@ def _gt_provider(dataset) -> Callable[[int], GroundTruth]:
 
 def iter_detections(variables, dataset, cfg: Config,
                     max_images: Optional[int] = None,
-                    detect_fn: Optional[Callable] = None):
+                    detect_fn: Optional[Callable] = None,
+                    mesh=None):
     """Yield ``(image_id, boxes, scores, labels)`` per image in ORIGINAL
     image coordinates, running the fused batched detect path.
 
     ``detect_fn(variables, images) -> Detections`` overrides the standard
     path (e.g. the int8 engine: ``lambda _, x: quant.detect_int8(qtree, x,
-    cfg)``)."""
+    cfg)``).
+
+    ``mesh``: shard each eval batch over the mesh's ``data`` axis before
+    dispatch (config 5's periodic mAP eval rides the same SPMD partition
+    as the pjit train step — eval batch size must be divisible by the
+    mesh size). Detections gather back on host fetch."""
     detect = detect_fn if detect_fn is not None else _detect_fn(cfg)
     # default fp path over uint8 batches: fused normalize+detect, one jit
     # region (modeling._detect_u8_fn). Injected detect_fns (int8 engine,
@@ -79,9 +85,16 @@ def iter_detections(variables, dataset, cfg: Config,
     detect_u8 = _detect_u8_fn(cfg) if detect_fn is None else None
     zeros_rng = jax.random.PRNGKey(0)
 
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("data"))
+
     def dispatch(batch):
         # jit dispatch is async: returns device handles immediately
-        imgs = jnp.asarray(batch["images"])
+        imgs = (jax.device_put(batch["images"], shard) if shard is not None
+                else jnp.asarray(batch["images"]))
         if imgs.dtype == jnp.uint8:
             if detect_u8 is not None:
                 return detect_u8(variables, imgs)
@@ -130,15 +143,19 @@ def iter_detections(variables, dataset, cfg: Config,
 
 def run_coco_eval(variables, dataset, cfg: Config,
                   max_images: Optional[int] = None,
-                  detect_fn: Optional[Callable] = None) -> EvalResult:
+                  detect_fn: Optional[Callable] = None,
+                  mesh=None) -> EvalResult:
     """Run detection over ``dataset`` and compute COCO bbox metrics.
 
     Returns :class:`EvalResult`; ``result["AP"]`` is mAP@[.5:.95].
+    ``mesh`` shards eval batches over the data axis (see
+    :func:`iter_detections`).
     """
     gt_of = _gt_provider(dataset)
     metric = COCOMetric(category_ids=list(range(cfg.model.num_classes)))
     for img_id, boxes, scores, labels in iter_detections(
-            variables, dataset, cfg, max_images, detect_fn=detect_fn):
+            variables, dataset, cfg, max_images, detect_fn=detect_fn,
+            mesh=mesh):
         metric.add(img_id, gt_of(img_id), boxes, scores, labels)
     return metric.compute()
 

@@ -184,7 +184,8 @@ def fit(
             ckpt.save(state, host=host_state())
 
         if eval_dataset is not None and (i + 1) % t.eval_every_steps == 0:
-            res = _periodic_eval(state, eval_dataset, cfg, eval_max_images)
+            res = _periodic_eval(state, eval_dataset, cfg, eval_max_images,
+                                 mesh)
             logger.log(i + 1, res, kind="eval")
             history.append({"step": i + 1, "eval": res})
 
@@ -203,9 +204,16 @@ def fit(
 
 
 def _periodic_eval(state: TrainState, dataset, cfg: Config,
-                   max_images: Optional[int]) -> Dict[str, float]:
+                   max_images: Optional[int], mesh=None) -> Dict[str, float]:
     from detjax.evaluation.evaluator import run_coco_eval
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    res = run_coco_eval(variables, dataset, cfg, max_images=max_images)
+    # under pjit DP (config 5) the eval batch shards over the same mesh
+    # as the train step; single-controller only (multi-host eval gathers
+    # per-process results instead - scripts/multihost_rehearsal.py)
+    import jax
+
+    mesh = mesh if jax.process_count() == 1 else None
+    res = run_coco_eval(variables, dataset, cfg, max_images=max_images,
+                        mesh=mesh)
     return {k: round(v, 4) for k, v in res.stats.items()}

@@ -114,3 +114,28 @@ def test_parallel_step_with_grad_accum():
     assert np.isfinite(float(metrics["loss"]))
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_eval_matches_unsharded():
+    """run_coco_eval(mesh=...) shards eval batches over the data axis
+    (config 5 periodic eval); the 12-stat table must match the unsharded
+    run (same math, SPMD over batch)."""
+    from detjax.data.synthetic import SyntheticDetectionDataset
+    from detjax.evaluation.evaluator import run_coco_eval
+    from detjax.train.step import make_train_state
+
+    cfg = get_config("coco_v5e8", **{
+        "model.image_size": (64, 64), "model.num_classes": 8,
+        "model.dtype": "float32", "model.backbone_depth": 18,
+        "train.max_gt": 4, "eval.batch_size": 8,
+        "eval.pre_nms_top_k": 50, "eval.max_detections": 10,
+        "eval.score_threshold": 0.0})
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = SyntheticDetectionDataset(num_images=8, image_size=(64, 64),
+                                   num_classes=8, seed=5)
+    plain = run_coco_eval(variables, ds, cfg)
+    sharded = run_coco_eval(variables, ds, cfg, mesh=make_mesh())
+    for k in plain.stats:
+        assert abs(plain.stats[k] - sharded.stats[k]) < 1e-6, (
+            k, plain.stats[k], sharded.stats[k])
