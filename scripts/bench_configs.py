@@ -25,7 +25,9 @@ def _measure_infer(cfg, bs, iters=20):
 
     h, w = cfg.model.image_size
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), jnp.float32)
+    # production parity: the serving/eval normalize fusion feeds the
+    # MODEL dtype (pipeline.device_augment out_dtype), matching bench.py
+    images = jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), cfg.model.dtype)
     module, variables = build_model(cfg, jax.random.PRNGKey(0))
     dfn = _detect_fn(cfg)
 
