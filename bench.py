@@ -40,20 +40,25 @@ def _backend_watchdog(timeout_s: float = 900.0):
     import os
     import threading
 
-    ok = threading.Event()
+    done = threading.Event()
+    err = []
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        jax.devices()
-        ok.set()
+            jax.devices()
+        except Exception as e:  # immediate init failure: report it, fast
+            err.append(repr(e))
+        finally:
+            done.set()
 
     threading.Thread(target=probe, daemon=True).start()
-    if not ok.wait(timeout_s):
+    if not done.wait(timeout_s) or err:
         print(json.dumps({
-            "error": f"TPU backend failed to initialize within "
-                     f"{timeout_s:.0f}s (axon tunnel down?)"}),
-            file=sys.stderr, flush=True)
+            "error": err[0] if err else
+            f"TPU backend failed to initialize within {timeout_s:.0f}s "
+            f"(axon tunnel down?)"}), file=sys.stderr, flush=True)
         os._exit(1)
 
 

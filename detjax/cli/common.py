@@ -72,15 +72,26 @@ def load_variables(preset: str, ckpt_dir: str,
     from detjax.train.checkpoint import Checkpointer
 
     cfg = get_config(preset, **(overrides or {}))
+    if use_ema and cfg.train.ema_decay <= 0:
+        raise ValueError(
+            "--ema needs train.ema_decay>0: pass the same "
+            "--set train.ema_decay=... the checkpoint was trained with, "
+            "so the restore template carries the EMA subtree")
     state = make_train_state(cfg, jax.random.PRNGKey(0))
-    state = Checkpointer(ckpt_dir).restore(state)
+    try:
+        state = Checkpointer(ckpt_dir).restore(state)
+    except Exception as e:
+        if use_ema:
+            # the most common failure here: the checkpoint predates EMA
+            # (no ema_params item) so Orbax raises a raw tree-structure
+            # mismatch — surface the actionable cause
+            raise ValueError(
+                f"--ema restore from {ckpt_dir!r} failed — was this "
+                f"checkpoint trained with train.ema_decay>0? A pre-EMA "
+                f"checkpoint has no ema_params subtree to restore") from e
+        raise
     if use_ema:
         from detjax.train.step import ema_variables
 
-        if state.ema_params is None:
-            raise ValueError(
-                "--ema needs a checkpoint trained with train.ema_decay>0 "
-                "(and the same --set train.ema_decay=... on this command "
-                "so the restore template carries the EMA subtree)")
         return cfg, ema_variables(state)
     return cfg, {"params": state.params, "batch_stats": state.batch_stats}

@@ -98,11 +98,13 @@ class TrainConfig:
     max_gt: int = 100
     # Gradient accumulation: split each batch into this many equal
     # micro-batches inside ONE jit step (lax.scan), averaging grads before
-    # the clip+optimizer update. Because the detection loss is per-image
-    # normalized then batch-meaned (ops/losses.py), equal micro-batches
-    # make the accumulated gradient MATHEMATICALLY equal to the full-batch
-    # one — this trades peak activation memory for steps, letting bs=16
-    # effective batches train on memory classes that only fit bs=4.
+    # the clip+optimizer update — trades peak activation memory for steps
+    # (bs=16 effective batches on memory that only fits bs=4). With frozen
+    # BN the per-image loss normalization (ops/losses.py) makes this
+    # MATHEMATICALLY equal to the full-batch gradient (tested); with BN
+    # training or uint8 in-step augmentation it has the standard
+    # accumulate-over-micro-batches semantics (BN stats per micro-batch,
+    # per-micro-batch flip stream), not bit-equality.
     grad_accum_steps: int = 1
     # Exponential moving average of params (0 = off). A standard
     # production-detection accuracy lever the reference lacks: the EMA

@@ -123,9 +123,13 @@ def iter_detections(variables, dataset, cfg: Config,
     # is DISPATCHED before batch N's results are pulled to host, so the
     # device computes N+1 while the host converts, matches and decodes N.
     n_done = 0
+    n_dispatched = 0  # upper bound on yieldable images already in flight
     pending = None
     for batch in make_eval_iterator(dataset, cfg):
+        if max_images is not None and n_dispatched >= max_images:
+            break  # enough images in flight — don't burn a batch of compute
         det = dispatch(batch)
+        n_dispatched += len(batch["image_id"])
         if pending is not None:
             for item in finalize(*pending):
                 yield item

@@ -213,7 +213,13 @@ def _periodic_eval(state: TrainState, dataset, cfg: Config,
     # per-process results instead - scripts/multihost_rehearsal.py)
     import jax
 
-    mesh = mesh if jax.process_count() == 1 else None
+    if mesh is not None and (
+            jax.process_count() != 1
+            or cfg.eval.batch_size % mesh.devices.size):
+        # multi-host eval gathers per-process results instead; an uneven
+        # batch/mesh split can't shard the leading dim — run unsharded
+        # rather than kill a long training run at its first periodic eval
+        mesh = None
     res = run_coco_eval(variables, dataset, cfg, max_images=max_images,
                         mesh=mesh)
     return {k: round(v, 4) for k, v in res.stats.items()}

@@ -170,9 +170,16 @@ def make_train_step(cfg: Config):
         """(loss, new_stats, metrics, grads) over one batch — full-batch
         when accum == 1, else a lax.scan over ``accum`` equal micro-batches
         with grads summed in carry (ONE extra params-sized buffer; no
-        [accum, ...] gradient stack ever materializes). Per-image loss
-        normalization (ops/losses.py) makes the averaged micro-grads
-        mathematically equal to the full-batch gradient."""
+        [accum, ...] gradient stack ever materializes).
+
+        Equivalence scope: with frozen BN the per-image loss normalization
+        (ops/losses.py) makes the averaged micro-grads MATHEMATICALLY
+        equal to the full-batch gradient (tested). With
+        ``frozen_backbone_bn=False`` BN normalizes per micro-batch and
+        running stats see ``accum`` momentum updates per step — the
+        standard accumulation semantics (same as any framework's
+        accumulate-over-micro-batches), not bit-equal to full-batch; and
+        uint8 augmentation draws a per-micro-batch flip stream."""
         if accum == 1:
             (loss, (new_stats, metrics)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch_stats, batch, aug_rng)
@@ -197,8 +204,13 @@ def make_train_step(cfg: Config):
             return (stats, gsum, lsum + loss, msum), None
 
         zero_g = jax.tree.map(jnp.zeros_like, params)
-        zero_m = {"num_pos": jnp.zeros(()), "cls_loss": jnp.zeros(()),
-                  "reg_loss": jnp.zeros(())}
+        # derive the metrics-zeros from the loss itself so the scan carry
+        # can never drift from ops/losses.py's metrics schema
+        mb0 = jax.tree.map(lambda v: v[0], micro)
+        m_shape = jax.eval_shape(
+            lambda p, s, mb, r: loss_fn(p, s, mb, r)[1][1],
+            params, batch_stats, mb0, rngs[0])
+        zero_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
         (new_stats, gsum, lsum, msum), _ = jax.lax.scan(
             one, (batch_stats, zero_g, jnp.zeros(()), zero_m),
             (micro, rngs))

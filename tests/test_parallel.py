@@ -102,7 +102,6 @@ def test_parallel_step_with_grad_accum():
     """grad_accum_steps composes with pjit DP: the batch is sharded on the
     data axis AND scanned over micro-batches inside the same program; one
     step runs, loss is finite, params stay replicated."""
-    cfg = _cfg(16)
     cfg = get_config("coco_v5e8", **{
         "model.image_size": (64, 64), "model.num_classes": 8,
         "train.batch_size": 16, "train.max_gt": 4,
