@@ -89,7 +89,12 @@ def iter_detections(variables, dataset, cfg: Config,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        shard = NamedSharding(mesh, P("data"))
+        # On a 2-D (data, space) mesh, image ROWS shard over 'space' too:
+        # the conv stack runs spatially partitioned (GSPMD halo exchange) —
+        # the large-canvas eval scale-out (e.g. the 1024-px protocol).
+        spec = (P("data", "space") if "space" in mesh.axis_names
+                else P("data"))
+        shard = NamedSharding(mesh, spec)
 
     def dispatch(batch):
         # jit dispatch is async: returns device handles immediately

@@ -118,10 +118,20 @@ def load_detect(path: str) -> Callable[[jax.Array], Detections]:
     with open(path, "rb") as f:
         exp = jax.export.deserialize(f.read())
 
+    aval = exp.in_avals[0]
+    in_dtype = jnp.dtype(aval.dtype)
+
     def run(images):
+        # the artifact's input signature is baked; callers legitimately
+        # hold model-dtype (bf16) batches — bf16 → fp32 is exact, so cast
+        # to the signature instead of erroring (uint8 artifacts still
+        # reject float feeds: quantization there would hide a host bug)
+        if (images.dtype != in_dtype
+                and in_dtype == jnp.float32
+                and jnp.issubdtype(images.dtype, jnp.floating)):
+            images = images.astype(in_dtype)
         return exp.call(images)
 
-    aval = exp.in_avals[0]
-    run.in_dtype = jnp.dtype(aval.dtype)
+    run.in_dtype = in_dtype
     run.in_shape = tuple(aval.shape)
     return run

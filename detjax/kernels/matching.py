@@ -123,27 +123,36 @@ def match_iou_pallas(
     gpack = jnp.pad(gpack, ((0, 0), (0, g_pad - g), (0, 0)))
 
     kernel = functools.partial(_match_kernel, tile=tile, g_pad=g_pad)
-    pack, idx = pl.pallas_call(
-        kernel,
-        grid=(b, a_pad // tile),
-        in_specs=[
-            pl.BlockSpec((8, tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g_pad, 8), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 8, a_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, a_pad), jnp.int32),
-        ],
-        interpret=interpret,
-    )(apack, gpack)
+
+    def _call(apack, gpack):
+        bb = gpack.shape[0]  # local (per-shard) batch under pjit
+        return pl.pallas_call(
+            kernel,
+            grid=(bb, a_pad // tile),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_pad, 8), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bb, 8, a_pad), jnp.float32),
+                jax.ShapeDtypeStruct((bb, 1, a_pad), jnp.int32),
+            ],
+            interpret=interpret,
+        )(apack, gpack)
+
+    # batch-SPMD rule: under pjit the kernel runs per-shard on the local
+    # batch instead of being replicated (see kernels/spmd.py)
+    from detjax.kernels.spmd import batch_spmd_call
+
+    pack, idx = batch_spmd_call(_call, (apack, gpack), (False, True))
     max_iou = pack[:, 0, :a]
     matched_boxes = jnp.transpose(pack[:, 1:5, :a], (0, 2, 1))  # [B, A, 4]
     matched_labels_raw = pack[:, 5, :a].astype(jnp.int32)

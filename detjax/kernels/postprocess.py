@@ -137,28 +137,35 @@ def nms_pallas(
     kernel = functools.partial(
         _nms_kernel, n_pad=n_pad, md_pad=md_pad, max_det=max_det,
         iou_threshold=float(iou_threshold))
-    grid = (b,)
-    idx, kscr = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, md_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, md_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1, md_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1, md_pad), jnp.float32),
-        ],
-        interpret=interpret,
-    )(pack, scr)
+
+    def _call(pack, scr):
+        bb = scr.shape[0]  # local (per-shard) batch under pjit
+        return pl.pallas_call(
+            kernel,
+            grid=(bb,),
+            in_specs=[
+                pl.BlockSpec((1, 8, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, n_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, md_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, md_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bb, 1, md_pad), jnp.int32),
+                jax.ShapeDtypeStruct((bb, 1, md_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(pack, scr)
+
+    # batch-SPMD rule: per-shard NMS under pjit (see kernels/spmd.py)
+    from detjax.kernels.spmd import batch_spmd_call
+
+    idx, kscr = batch_spmd_call(_call, (pack, scr), (True, True))
     return idx[:, 0, :max_det], kscr[:, 0, :max_det]
 
 
@@ -238,18 +245,26 @@ def decode_boxes_pallas(
     kernel = functools.partial(
         _decode_kernel, std=tuple(float(s) for s in std),
         image_size=image_size)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, n_pad // tile),
-        in_specs=[
-            pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
-        interpret=interpret,
-    )(dt, at)
+
+    def _call(dt, at):
+        bb = dt.shape[0]  # local (per-shard) batch under pjit
+        return pl.pallas_call(
+            kernel,
+            grid=(bb, n_pad // tile),
+            in_specs=[
+                pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tile), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, tile), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bb, 8, n_pad), jnp.float32),
+            interpret=interpret,
+        )(dt, at)
+
+    # batch-SPMD rule: per-shard decode under pjit (see kernels/spmd.py)
+    from detjax.kernels.spmd import batch_spmd_call
+
+    out = batch_spmd_call(_call, (dt, at), (True, False))
     return jnp.transpose(out[:, :4, :n], (0, 2, 1))

@@ -6,6 +6,12 @@ deletion of that subsystem: one ``Mesh(('data',))`` over the v5e slice,
 params replicated, batch sharded on 'data', and XLA emits the gradient
 all-reduce over ICI inside the same compiled step. No backend code, no
 launcher, identical program on 1 chip and v5e-8.
+
+``make_mesh(spatial=k)`` upgrades this to a 2-D ``(data, space)`` mesh
+with image rows sharded over 'space' — GSPMD spatial partitioning of the
+conv stack (halo exchanges over ICI) for canvases too large for one
+chip's HBM/step budget. TP/PP/EP remain deliberate deletions (no axis to
+shard in a single-stage CNN detector; SURVEY.md §2b).
 """
 
 from detjax.parallel.mesh import (

@@ -8,10 +8,24 @@ XLA insert collectives):
   * params/opt_state: replicated ``P()``.
   * batch: ``P('data')`` on the leading dim; per-host feed shards land
     directly on their chips, gradient psum rides ICI.
+
+Spatial partitioning (``spatial > 1``): the one *model*-sharding axis that
+IS idiomatic for a single-stage CNN detector on TPU. The mesh becomes 2-D
+``('data', 'space')`` and images are sharded ``P('data', 'space')`` — each
+image's ROWS are split across the 'space' group, so the conv stack runs
+spatially partitioned with GSPMD inserting halo exchanges (collective
+permutes of boundary rows) over ICI. Anchor-space ops (flatten → matching
+→ loss) reshard to ``P('data')`` at the flatten boundary (one all-gather
+of head outputs per step — the classic TPU detection spatial-partitioning
+design). Use when the canvas is too large for one chip's step time or HBM
+(e.g. the 1024-px eval protocol, megapixel serving): it scales a FIXED
+batch to more chips than DP alone allows (DP needs bs ≥ n_devices;
+DP×SP needs bs ≥ n_devices / spatial).
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Dict, Optional, Sequence
 
@@ -24,9 +38,27 @@ from detjax.train.step import TrainState, make_train_step
 
 
 def make_mesh(devices: Optional[Sequence[Any]] = None,
-              axis_name: str = "data") -> Mesh:
+              axis_name: str = "data", spatial: int = 1) -> Mesh:
+    """1-D DP mesh, or a 2-D ``(data, space)`` mesh when ``spatial > 1``.
+
+    ``spatial`` must divide the device count; adjacent devices are grouped
+    into the 'space' axis so halo exchanges ride nearest-neighbour ICI.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    return Mesh(np.asarray(devices), (axis_name,))
+    if spatial <= 1:
+        return Mesh(np.asarray(devices), (axis_name,))
+    if len(devices) % spatial:
+        raise ValueError(
+            f"spatial={spatial} does not divide {len(devices)} devices")
+    grid = np.asarray(devices).reshape(-1, spatial)
+    return Mesh(grid, (axis_name, "space"))
+
+
+def _image_spec(mesh: Mesh, axis_name: str = "data") -> P:
+    """Batch-images PartitionSpec: rows sharded too on a 2-D mesh."""
+    if "space" in mesh.axis_names:
+        return P(axis_name, "space")
+    return P(axis_name)
 
 
 def replicate(tree, mesh: Mesh):
@@ -36,9 +68,13 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
-    """Shard the leading (batch) dim of every array across the mesh."""
-    s = NamedSharding(mesh, P(axis_name))
-    return jax.device_put(batch, s)
+    """Shard the leading (batch) dim of every array across the mesh; on a
+    2-D ``(data, space)`` mesh, image rows are additionally sharded over
+    'space' (spatial partitioning of the conv stack)."""
+    data = NamedSharding(mesh, P(axis_name))
+    img = NamedSharding(mesh, _image_spec(mesh, axis_name))
+    return {k: jax.device_put(v, img if k == "images" else data)
+            for k, v in batch.items()}
 
 
 def global_batch_from_local(batch: Dict[str, Any], mesh: Mesh,
@@ -46,10 +82,41 @@ def global_batch_from_local(batch: Dict[str, Any], mesh: Mesh,
     """Assemble a GLOBAL batch from this process's local shard (multi-host
     DP): each host feeds only its per-host slice (see
     ``make_train_iterator(per_host=True)``); the returned arrays are
-    globally sharded on ``axis_name`` with zero cross-host copies."""
-    s = NamedSharding(mesh, P(axis_name))
-    return {k: jax.make_array_from_process_local_data(s, np.asarray(v))
+    globally sharded on ``axis_name`` with zero cross-host copies. On a
+    2-D ``(data, space)`` mesh images additionally shard rows over
+    'space'; each process still feeds the same contiguous per-host batch
+    slice (the space axis subdivides rows *within* each data group)."""
+    data = NamedSharding(mesh, P(axis_name))
+    img = NamedSharding(mesh, _image_spec(mesh, axis_name))
+    return {k: jax.make_array_from_process_local_data(
+                img if k == "images" else data, np.asarray(v))
             for k, v in batch.items()}
+
+
+def _spatial_safe_partitioner(mesh: Mesh):
+    """Partitioner context for compiles over ``mesh``.
+
+    JAX 0.9.0's Shardy propagation MIscompiles the train step on a 2-D
+    ``(data, space)`` mesh: the cls-head conv BIAS gradient (an
+    [1, 1, 1, C] reduce in the conv transpose) is assigned degenerate
+    shardings over its size-1 dims, and the partitioner's
+    replicate-then-repartition fallback ("Involuntary full
+    rematerialization", xla b/433785288) produces wrong values — the
+    forward logits feeding the loss come out near zero whenever the
+    backward is live (measured: loss 301.8 vs 2.30, grad_norm 2255 vs
+    17.3 on the 8-device CPU mesh; forward-only and legacy-GSPMD compiles
+    are both correct). Until the Shardy fix lands, spatial-mesh train
+    compiles use legacy GSPMD propagation, scoped via the config context
+    (``include_in_jit_key=True`` → a separate, correctly-compiled jit
+    cache entry; DP-only meshes keep the Shardy default).
+    """
+    if "space" not in mesh.axis_names:
+        return contextlib.nullcontext
+    try:
+        from jax._src.config import use_shardy_partitioner
+        return lambda: use_shardy_partitioner(False)
+    except ImportError:  # private API moved: fail safe, keep default
+        return contextlib.nullcontext
 
 
 def parallel_train_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -67,23 +134,28 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, axis_name: str = "data"):
     base = make_train_step(cfg)  # jit-cached; sharding propagates from inputs
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
+    img = NamedSharding(mesh, _image_spec(mesh, axis_name))
+    partitioner = _spatial_safe_partitioner(mesh)
 
     def _place(state: TrainState, batch):
-        batch = jax.device_put(batch, data)
+        batch = {k: jax.device_put(v, img if k == "images" else data)
+                 for k, v in batch.items()}
         if jax.tree.leaves(state.params)[0].sharding != repl:
             state = jax.device_put(state, repl)
         return state, batch
 
     def run(state: TrainState, batch):
         state, batch = _place(state, batch)
-        return base(state, batch)
+        with partitioner():
+            return base(state, batch)
 
     def warmup(state: TrainState, batch):
         """AOT compile without executing — multi-process callers compile
         BEFORE their first collective so the cross-host transport (Gloo on
         CPU meshes) connects without compile-time skew."""
         state, batch = _place(state, batch)
-        base.lower(state, batch).compile()
+        with partitioner():
+            base.lower(state, batch).compile()
 
     run.warmup = warmup
     return run

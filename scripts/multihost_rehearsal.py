@@ -18,6 +18,11 @@ generations:
                     proc 0 runs one periodic COCO eval pass on the
                     restored weights (eval-on-primary strategy) while
                     proc 1 waits at a cross-host barrier.
+  phase "spatial":  fresh 2 procs train STEPS_TOTAL steps on the 2-D
+                    ``(data=4, space=2)`` mesh — image rows sharded over
+                    'space', so GSPMD's conv halo exchanges run over the
+                    REAL cross-process transport (Gloo here, ICI on TPU).
+                    Cross-process digests must still agree bit-for-bit.
 
 The driver asserts: cross-process bit-identical losses/params in every
 phase, straight-run digest == save/kill/restart/resume digest
@@ -97,7 +102,11 @@ def worker(pid: int, phase: str, ckpt_dir: str, port: int) -> None:
         "train.batch_size": 8, "train.max_gt": 4})
     ds = SyntheticDetectionDataset(num_images=32, image_size=(64, 64),
                                    num_classes=4, max_objects=2)
-    mesh = make_mesh()  # all 8 global devices
+    # "spatial" rides the 2-D (data=4, space=2) mesh: conv halo exchanges
+    # cross the process boundary (data groups 0-1 on proc 0, 2-3 on proc 1;
+    # each group's space pair is process-local here, but the gradient
+    # all-reduce over 'data' and the resharding collectives are cross-host)
+    mesh = make_mesh(spatial=2 if phase == "spatial" else 1)
     state = parallel_train_state(
         make_train_state(cfg, jax.random.PRNGKey(0)), mesh)
     step = make_parallel_train_step(cfg, mesh)
@@ -138,7 +147,7 @@ def worker(pid: int, phase: str, ckpt_dir: str, port: int) -> None:
         return state
 
     losses: list = []
-    if phase == "straight":
+    if phase in ("straight", "spatial"):
         state = run_steps(state, 0, STEPS_TOTAL, losses)
     elif phase == "train":
         state = run_steps(state, 0, SAVE_AT, losses)
@@ -227,6 +236,7 @@ def main() -> None:
     straight, _ = _spawn("straight", ckpt_dir, port)
     _spawn("train", ckpt_dir, port)  # saves at SAVE_AT, then "killed" (exits)
     resumed, outs = _spawn("resume", ckpt_dir, port)  # fresh procs = restart
+    spatial, _ = _spawn("spatial", ckpt_dir, port)  # DP×SP 2-D mesh
 
     d_straight = straight.split("digest=")[1].strip()
     d_resumed = resumed.split("digest=")[1].strip()
@@ -235,11 +245,13 @@ def main() -> None:
         f"{d_resumed}")
     assert any("eval {" in o for o in outs[0].splitlines()), \
         "no periodic-eval line from proc 0"
+    assert "digest=" in spatial  # cross-proc equality asserted in _spawn
     print(f"multihost rehearsal v2 OK: {N_PROC} processes × "
           f"{LOCAL_DEVICES} devices, train {STEPS_TOTAL} straight == "
           f"train {SAVE_AT} + Orbax save + restart + resume "
           f"{STEPS_TOTAL - SAVE_AT} (digest {d_straight[:12]}…), "
-          "periodic eval on resumed weights passed")
+          "periodic eval on resumed weights passed, "
+          "spatial (data=4, space=2) phase cross-process bit-identical")
 
 
 if __name__ == "__main__":

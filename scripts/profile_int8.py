@@ -40,6 +40,8 @@ def bench(fn, args, iters=20, rounds=3):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -47,9 +49,19 @@ def main():
     from detjax.config import get_config
     from detjax.modeling import _detect_fn, build_model
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", nargs="*", default=None, metavar="PRESET:BS",
+                    help="e.g. retinanet_r50_640:16 retinanet_r50_640:32 "
+                         "retinanet_r50_640_latency:1 (default: the three "
+                         "headline rows)")
+    args = ap.parse_args()
+    runs = ([(s.rsplit(":", 1)[0], int(s.rsplit(":", 1)[1]))
+             for s in args.runs] if args.runs else
+            [("retinanet_r50_640", 8), ("retinanet_r50_640", 1),
+             ("ssd_512", 8)])
+
     rng = np.random.default_rng(0)
-    for preset, bs in (("retinanet_r50_640", 8), ("retinanet_r50_640", 1),
-                       ("ssd_512", 8)):
+    for preset, bs in runs:
         cfg = get_config(preset)
         h, w = cfg.model.image_size
         images = jnp.asarray(rng.normal(0, 1, (bs, h, w, 3)), jnp.float32)

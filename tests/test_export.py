@@ -58,6 +58,22 @@ def test_export_serialize_roundtrip(small_setup, tmp_path):
     assert os.path.getsize(path) > 1_000_000
 
 
+def test_fp32_artifact_accepts_model_dtype_feed(small_setup, tmp_path):
+    """Regression (hard-export gate, round 3): the evaluator feeds the
+    detect path MODEL-dtype batches (the u8-fusion contract); an fp32
+    artifact must cast a bf16 feed to its signature (exact) instead of
+    raising a dtype mismatch. uint8 artifacts still reject float feeds."""
+    cfg, variables, images = small_setup
+    path = str(tmp_path / "detect32.stablehlo")
+    save_detect(path, variables, cfg, batch_size=2)
+    served = load_detect(path)
+    out_bf = served(images.astype(jnp.bfloat16))
+    # bf16 → fp32 is exact per element; outputs equal the bf16-rounded feed
+    ref = served(images.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(out_bf.scores),
+                                  np.asarray(ref.scores))
+
+
 def test_export_int8_engine_roundtrip(small_setup, tmp_path):
     """calibration= exports the PTQ int8 engine's graph; the reloaded
     artifact reproduces the live detect_int8 path on the same qtree."""

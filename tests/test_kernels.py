@@ -256,3 +256,83 @@ class TestMaxPoolBwd:
         np.testing.assert_array_equal(
             np.asarray(max_pool_3x3s2(z), np.float32),
             np.asarray(max_pool_3x3s2_reference(z), np.float32))
+
+
+class TestBatchSPMD:
+    """kernels/spmd.py: under pjit with a sharded batch the Pallas custom
+    calls must PARTITION over the batch axis (per-shard kernels), not
+    replicate — and produce identical values to the unsharded run."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()), ("data",))
+
+    def test_matching_kernel_partitions_over_batch(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from detjax.kernels.matching import match_iou_pallas
+
+        mesh = self._mesh()
+        a, b, g = 64, 8, 4
+        anchors = jnp.asarray(rng.uniform(0, 100, (a, 4)), jnp.float32)
+        gt = jnp.asarray(rng.uniform(0, 100, (b, g, 4)), jnp.float32)
+        valid = jnp.ones((b, g), bool)
+        labels = jnp.ones((b, g), jnp.int32)
+
+        @jax.jit
+        def f(gt, valid, labels):
+            return match_iou_pallas(anchors, gt, valid, labels, tile=64,
+                                    interpret=True)
+
+        ref = f(gt, valid, labels)
+        sh = NamedSharding(mesh, P("data"))
+        out = f(jax.device_put(gt, sh), jax.device_put(valid, sh),
+                jax.device_put(labels, sh))
+        # the batch axis survives through the kernel: 8 shards of [1, ...]
+        assert len(out[0].addressable_shards) == 8
+        assert out[0].addressable_shards[0].data.shape[0] == 1
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+    def test_nms_kernel_partitions_over_batch(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh()
+        boxes, scores, labels = _random_candidates(rng, b=8, n=128, k=4)
+
+        @jax.jit
+        def f(bx, sc, lb):
+            return nms_pallas(bx, sc, lb, iou_threshold=0.5, max_det=32,
+                              interpret=True)
+
+        ref = f(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels))
+        sh = NamedSharding(mesh, P("data"))
+        out = f(jax.device_put(jnp.asarray(boxes), sh),
+                jax.device_put(jnp.asarray(scores), sh),
+                jax.device_put(jnp.asarray(labels), sh))
+        assert len(out[0].addressable_shards) == 8
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+    def test_decode_kernel_partitions_over_batch(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh()
+        b, n = 8, 256
+        deltas = jnp.asarray(rng.normal(0, 0.3, (b, n, 4)), jnp.float32)
+        cxcy = rng.uniform(20, 200, (n, 2))
+        wh = rng.uniform(5, 60, (n, 2))
+        anchors = jnp.asarray(
+            np.concatenate([cxcy - wh / 2, cxcy + wh / 2], -1), jnp.float32)
+
+        @jax.jit
+        def f(d):
+            return decode_boxes_pallas(d, anchors, image_size=(256, 256),
+                                       interpret=True)
+
+        ref = f(deltas)
+        sh = NamedSharding(mesh, P("data"))
+        out = f(jax.device_put(deltas, sh))
+        assert len(out.addressable_shards) == 8
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

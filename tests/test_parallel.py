@@ -115,6 +115,63 @@ def test_parallel_step_with_grad_accum():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_spatial_partitioned_step_matches_single_device():
+    """DP×SP 2-D mesh (4 data × 2 space): image ROWS sharded over 'space',
+    conv stack spatially partitioned by GSPMD (halo exchanges), anchor-space
+    ops resharded to P('data') at the flatten boundary. One step must agree
+    with the unsharded step — spatial partitioning is a layout, not a
+    different program."""
+    bs = 4
+    cfg = get_config("coco_v5e8", **{
+        "model.image_size": (128, 128), "model.num_classes": 8,
+        "model.backbone_depth": 18,
+        "train.batch_size": bs, "train.max_gt": 4,
+    })
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (bs, 128, 128, 3)),
+                              jnp.float32),
+        "gt_boxes": jnp.tile(jnp.asarray(
+            [[[8, 8, 40, 40], [30, 30, 100, 100], [0, 0, 0, 0],
+              [0, 0, 0, 0]]], jnp.float32), (bs, 1, 1)),
+        "gt_labels": jnp.tile(jnp.asarray([[2, 5, -1, -1]], jnp.int32),
+                              (bs, 1)),
+    }
+    s1 = make_train_state(cfg, jax.random.PRNGKey(0))
+    s1, m1 = make_train_step(cfg)(s1, batch)
+
+    mesh = make_mesh(spatial=2)
+    assert mesh.axis_names == ("data", "space")
+    assert mesh.devices.shape == (4, 2)
+    s8 = make_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_parallel_train_step(cfg, mesh)
+    s8, m8 = step(s8, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-3)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
+    # params stay replicated after the step
+    assert jax.tree.leaves(s8.params)[0].sharding.is_fully_replicated
+
+
+def test_spatial_shard_batch_layout():
+    """shard_batch on a 2-D mesh: images sharded (data, space) — each
+    device holds a [bs/4, H/2, W, C] tile — GT sharded on data only."""
+    mesh = make_mesh(spatial=2)
+    batch = shard_batch(_batch(8), mesh)
+    img_shards = batch["images"].addressable_shards
+    assert len(img_shards) == 8
+    assert img_shards[0].data.shape == (2, 32, 64, 3)
+    gt_shards = batch["gt_boxes"].addressable_shards
+    assert gt_shards[0].data.shape == (2, 4, 4)
+
+
+def test_make_mesh_spatial_must_divide():
+    with pytest.raises(ValueError):
+        make_mesh(spatial=3)
+
+
 def test_sharded_eval_matches_unsharded():
     """run_coco_eval(mesh=...) shards eval batches over the data axis
     (config 5 periodic eval); the 12-stat table must match the unsharded
@@ -138,3 +195,9 @@ def test_sharded_eval_matches_unsharded():
     for k in plain.stats:
         assert abs(plain.stats[k] - sharded.stats[k]) < 1e-6, (
             k, plain.stats[k], sharded.stats[k])
+    # and over a 2-D (data, space) mesh: spatially partitioned conv stack,
+    # same 12-stat table (fp32 model → exact)
+    spatial = run_coco_eval(variables, ds, cfg, mesh=make_mesh(spatial=2))
+    for k in plain.stats:
+        assert abs(plain.stats[k] - spatial.stats[k]) < 1e-6, (
+            k, plain.stats[k], spatial.stats[k])
