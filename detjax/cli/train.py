@@ -50,6 +50,10 @@ def main():
                     help="also write tf.summary scalars under <log-dir>/tb")
     ap.add_argument("--dp", action="store_true",
                     help="pjit data-parallel over all visible devices")
+    ap.add_argument("--spatial", type=int, default=1, metavar="K",
+                    help="spatial partitioning: 2-D (data, space=K) mesh, "
+                         "image rows sharded over K chips per image group "
+                         "(large-canvas scale-out; implies --dp)")
     ap.add_argument("--import-backbone",
                     help="torch state_dict .pt with pretrained ResNet")
     ap.add_argument("--import-detector",
@@ -150,11 +154,12 @@ def main():
         print(f"imported pretrained {what} from {path}")
 
     mesh = None
-    if args.dp:
+    if args.dp or args.spatial > 1:
         from detjax.parallel import make_mesh
 
-        mesh = make_mesh()
-        print(f"data-parallel mesh: {mesh}")
+        mesh = make_mesh(spatial=args.spatial)
+        print(f"{'DP×SP' if args.spatial > 1 else 'data-parallel'} "
+              f"mesh: {mesh}")
 
     import contextlib
 

@@ -55,6 +55,23 @@ def test_train_cli_csv_path(tmp_path, monkeypatch, capsys):
     assert "done: step=2" in out
 
 
+def test_train_cli_spatial_mesh(monkeypatch, capsys):
+    """--spatial K builds the 2-D (data, space) mesh and trains on it
+    (synthetic data; 8 virtual CPU devices → data=4, space=2)."""
+    _run_train_cli(
+        ["--synthetic", "--spatial", "2", "--steps", "2",
+         "--set", "model.image_size=(64,64)",
+         "--set", "model.backbone_depth=18",
+         "--set", "model.num_classes=4",
+         "--set", "train.batch_size=4",
+         "--set", "train.eval_every_steps=1000000",
+         "--set", "train.checkpoint_every_steps=1000000"],
+        monkeypatch)
+    out = capsys.readouterr().out
+    assert "'space': 2" in out and "DP×SP" in out
+    assert "done: step=2" in out
+
+
 def test_train_cli_requires_a_dataset(monkeypatch, capsys):
     with pytest.raises(SystemExit):
         _run_train_cli(["--steps", "1"], monkeypatch)
