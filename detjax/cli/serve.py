@@ -27,6 +27,11 @@ def main():
                          "activation ranges on (REQUIRED for int8)")
     ap.add_argument("--batch-size", type=int, default=8,
                     help="compiled micro-batch size")
+    ap.add_argument("--buckets", type=int, nargs="+", metavar="SIZE",
+                    help="canvas bucketing: compile one engine per square "
+                         "canvas size (e.g. --buckets 320 640) and route "
+                         "each image to the smallest canvas that holds it "
+                         "unscaled (fp/int8 engines)")
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
                     help="request-coalescing window")
     ap.add_argument("--score-threshold", type=float, default=0.3)
@@ -58,7 +63,7 @@ def main():
     server = DetectionServer(
         variables, cfg, engine=args.engine, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, score_threshold=args.score_threshold,
-        class_names=names, calibration=calibration)
+        class_names=names, calibration=calibration, buckets=args.buckets)
 
     import signal
     import threading

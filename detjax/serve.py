@@ -204,12 +204,131 @@ class MicroBatcher:
             self._finish(pending)
 
 
+def _build_engine(variables, cfg, engine: str, batch_size: int,
+                  calibration: Optional[np.ndarray]):
+    """One compiled detect engine at ``cfg.model.image_size``.
+
+    Returns ``(dispatch, finalize, run_batch)`` — the MicroBatcher trio.
+    ``engine``: "fp", "int8", or a StableHLO artifact path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from detjax.data.pipeline import device_augment
+
+    h, w = cfg.model.image_size
+    rng = jax.random.PRNGKey(0)
+    mean, std = cfg.data.mean, cfg.data.std
+
+    # fp/int8 run normalize+detect as ONE jit region over raw uint8
+    # canvases (modeling.detect_u8 / quant.detect_int8_u8): one
+    # dispatch, no normalized batch materialized in HBM. A StableHLO
+    # artifact exported with input_format="u8" gets the same path
+    # (normalize baked in); a legacy fp32-signature artifact keeps
+    # the separate normalize jit.
+    def _normalize(canvases_u8):  # artifact engine + PTQ calibration
+        x = jnp.asarray(canvases_u8)
+        boxes = jnp.zeros((x.shape[0], 1, 4), jnp.float32)
+        x, _ = device_augment(x, boxes, rng,
+                              hflip_prob=0.0, mean=mean, std=std)
+        return x
+
+    if engine == "fp":
+        from detjax.modeling import detect_u8
+
+        run = lambda x_u8: detect_u8(variables, x_u8, cfg)
+    elif engine == "int8":
+        from detjax import quant
+
+        # PTQ activation scales are frozen at calibration time; scales
+        # taken from whatever request happens to arrive first (mostly
+        # zero-padded slots) silently clip later activations for the
+        # server's lifetime and make accuracy non-reproducible across
+        # restarts — so the server REQUIRES explicit calibration
+        # (VERDICT r2 weak #1 / ADVICE r2).
+        if calibration is None:
+            raise ValueError(
+                "engine='int8' requires calibration images "
+                "(--int8-calibrate): PTQ activation ranges frozen from "
+                "an arbitrary first request batch are unrepresentative "
+                "and non-reproducible")
+        calibration = np.asarray(calibration, np.uint8)
+        if calibration.shape[1:] != (h, w, 3):
+            raise ValueError(
+                f"calibration must be [N, {h}, {w}, 3] uint8 "
+                f"canvases, got {calibration.shape}")
+        qtree = quant.quantize_model(
+            variables, cfg, _normalize(calibration))
+
+        run = lambda x_u8: quant.detect_int8_u8(qtree, x_u8, cfg)
+    else:  # path to a serialized StableHLO artifact
+        from detjax.export import load_detect
+
+        _artifact = load_detect(engine)
+        want = (batch_size, h, w, 3)
+        if _artifact.in_shape != want:
+            raise ValueError(
+                f"artifact {engine!r} was exported for input shape "
+                f"{_artifact.in_shape}, but this server feeds {want} "
+                f"(--batch-size / preset image_size must match the "
+                f"export)")
+        if _artifact.in_dtype == jnp.uint8:
+            # exported with input_format="u8": normalization is baked
+            # into the artifact — same one-dispatch path as fp/int8
+            run = _artifact
+        else:  # legacy fp32-signature artifact: normalize jit on host
+            run = lambda x_u8: _artifact(_normalize(x_u8))
+
+    def dispatch_batch(canvases_u8: np.ndarray):
+        # async: jit dispatch returns device handles immediately, so
+        # the NEXT batch's normalize+H2D overlaps this one's compute
+        return run(jnp.asarray(canvases_u8))
+
+    def finalize_batch(det, n: int):
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        nv = np.asarray(det.num_valid)
+        return [(boxes[i], scores[i], labels[i], int(nv[i]))
+                for i in range(n)]
+
+    def run_batch(canvases_u8: np.ndarray):
+        return finalize_batch(dispatch_batch(canvases_u8),
+                              canvases_u8.shape[0])
+
+    return dispatch_batch, finalize_batch, run_batch
+
+
+def _resize_canvases_u8(canvases: np.ndarray, size_hw) -> np.ndarray:
+    """Bilinear-resize a [N, H, W, 3] uint8 canvas stack (host-side; used
+    to re-derive PTQ calibration canvases for each serving bucket)."""
+    from PIL import Image
+
+    th, tw = size_hw
+    out = np.empty((canvases.shape[0], th, tw, 3), np.uint8)
+    for i, c in enumerate(canvases):
+        out[i] = np.asarray(
+            Image.fromarray(c).resize((tw, th), Image.BILINEAR))
+    return out
+
+
 class DetectionServer:
     """HTTP detection service over a fused detect engine.
 
     ``engine``: "fp" (live jit), "int8" (PTQ; ``calibration`` canvases are
     REQUIRED), or a path to a StableHLO artifact from
     :func:`detjax.export.save_detect` (exported at ``batch_size``).
+
+    ``buckets``: optional square canvas sizes (e.g. ``(320, 640)``) for
+    CANVAS BUCKETING — the TPU-idiomatic answer to variable image sizes.
+    XLA compiles static shapes, so instead of one worst-case canvas every
+    request pays for, the server compiles one engine per bucket and routes
+    each image to the smallest canvas that holds it unscaled (larger
+    images letterbox down onto the largest bucket). A 300px thumbnail then
+    runs ~4× less conv work on a 320 canvas than padded onto 640, at
+    unchanged accuracy for the large images. fp/int8 engines only (a
+    StableHLO artifact has ONE baked input shape); int8 recalibrates per
+    bucket from the same calibration canvases (host-resized).
     """
 
     def __init__(self, variables, cfg, engine: str = "fp",
@@ -217,112 +336,69 @@ class DetectionServer:
                  score_threshold: float = 0.3,
                  calibration: Optional[np.ndarray] = None,
                  class_names: Optional[Sequence[str]] = None,
-                 max_queue_batches: int = 8, overlap: bool = True):
-        import jax
-        import jax.numpy as jnp
-
-        from detjax.data.pipeline import device_augment
+                 max_queue_batches: int = 8, overlap: bool = True,
+                 buckets: Optional[Sequence[int]] = None):
+        import dataclasses
 
         self.cfg = cfg
         self.score_threshold = float(score_threshold)
         self.class_names = class_names
         self.engine = engine
         self._httpd = None
-        h, w = cfg.model.image_size
 
-        rng = jax.random.PRNGKey(0)
-        mean, std = cfg.data.mean, cfg.data.std
-
-        # fp/int8 run normalize+detect as ONE jit region over raw uint8
-        # canvases (modeling.detect_u8 / quant.detect_int8_u8): one
-        # dispatch, no normalized batch materialized in HBM. A StableHLO
-        # artifact exported with input_format="u8" gets the same path
-        # (normalize baked in); a legacy fp32-signature artifact keeps
-        # the separate normalize jit.
-        def _normalize(canvases_u8):  # artifact engine + PTQ calibration
-            x = jnp.asarray(canvases_u8)
-            boxes = jnp.zeros((x.shape[0], 1, 4), jnp.float32)
-            x, _ = device_augment(x, boxes, rng,
-                                  hflip_prob=0.0, mean=mean, std=std)
-            return x
-
-        if engine == "fp":
-            from detjax.modeling import detect_u8
-
-            run = lambda x_u8: detect_u8(variables, x_u8, cfg)
-        elif engine == "int8":
-            from detjax import quant
-
-            # PTQ activation scales are frozen at calibration time; scales
-            # taken from whatever request happens to arrive first (mostly
-            # zero-padded slots) silently clip later activations for the
-            # server's lifetime and make accuracy non-reproducible across
-            # restarts — so the server REQUIRES explicit calibration
-            # (VERDICT r2 weak #1 / ADVICE r2).
-            if calibration is None:
+        if buckets:
+            if engine not in ("fp", "int8"):
                 raise ValueError(
-                    "engine='int8' requires calibration images "
-                    "(--int8-calibrate): PTQ activation ranges frozen from "
-                    "an arbitrary first request batch are unrepresentative "
-                    "and non-reproducible")
-            calibration = np.asarray(calibration, np.uint8)
-            if calibration.shape[1:] != (h, w, 3):
-                raise ValueError(
-                    f"calibration must be [N, {h}, {w}, 3] uint8 "
-                    f"canvases, got {calibration.shape}")
-            qtree = quant.quantize_model(
-                variables, cfg, _normalize(calibration))
+                    "buckets= requires the fp or int8 engine: a StableHLO "
+                    "artifact has one baked input shape")
+            sizes = sorted({int(s) for s in buckets})
+        else:
+            sizes = [None]  # single bucket at cfg.model.image_size
 
-            run = lambda x_u8: quant.detect_int8_u8(qtree, x_u8, cfg)
-        else:  # path to a serialized StableHLO artifact
-            from detjax.export import load_detect
+        self._buckets = []  # [(canvas_hw, MicroBatcher)], ascending size
+        self._runs = []  # per-bucket run_batch, for warmup()
+        for s in sizes:
+            if s is None:
+                cfg_b = cfg
+            else:
+                cfg_b = dataclasses.replace(
+                    cfg, model=dataclasses.replace(
+                        cfg.model, image_size=(s, s)))
+            cal_b = calibration
+            # bucketed int8: re-derive each bucket's calibration canvases
+            # from the provided ones (single-bucket keeps the strict
+            # shape check in _build_engine)
+            if s is not None and calibration is not None and \
+                    np.asarray(calibration).shape[1:3] != cfg_b.model.image_size:
+                cal_b = _resize_canvases_u8(
+                    np.asarray(calibration, np.uint8), cfg_b.model.image_size)
+            dispatch, finalize, run_batch = _build_engine(
+                variables, cfg_b, engine, batch_size, cal_b)
+            batcher = MicroBatcher(
+                run_batch, batch_size, cfg_b.model.image_size, max_wait_ms,
+                max_queue_batches=max_queue_batches,
+                dispatch=dispatch if overlap else None,
+                finalize=finalize if overlap else None)
+            self._buckets.append((cfg_b.model.image_size, batcher))
+            self._runs.append(run_batch)
+        # back-compat: `.batcher` is the largest (base) bucket
+        self.batcher = self._buckets[-1][1]
 
-            _artifact = load_detect(engine)
-            want = (batch_size, h, w, 3)
-            if _artifact.in_shape != want:
-                raise ValueError(
-                    f"artifact {engine!r} was exported for input shape "
-                    f"{_artifact.in_shape}, but this server feeds {want} "
-                    f"(--batch-size / preset image_size must match the "
-                    f"export)")
-            if _artifact.in_dtype == jnp.uint8:
-                # exported with input_format="u8": normalization is baked
-                # into the artifact — same one-dispatch path as fp/int8
-                run = _artifact
-            else:  # legacy fp32-signature artifact: normalize jit on host
-                run = lambda x_u8: _artifact(_normalize(x_u8))
-
-        def dispatch_batch(canvases_u8: np.ndarray):
-            # async: jit dispatch returns device handles immediately, so
-            # the NEXT batch's normalize+H2D overlaps this one's compute
-            return run(jnp.asarray(canvases_u8))
-
-        def finalize_batch(det, n: int):
-            boxes = np.asarray(det.boxes)
-            scores = np.asarray(det.scores)
-            labels = np.asarray(det.labels)
-            nv = np.asarray(det.num_valid)
-            return [(boxes[i], scores[i], labels[i], int(nv[i]))
-                    for i in range(n)]
-
-        def run_batch(canvases_u8: np.ndarray):
-            return finalize_batch(dispatch_batch(canvases_u8),
-                                  canvases_u8.shape[0])
-
-        self.batcher = MicroBatcher(run_batch, batch_size, (h, w),
-                                    max_wait_ms,
-                                    max_queue_batches=max_queue_batches,
-                                    dispatch=dispatch_batch if overlap else None,
-                                    finalize=finalize_batch if overlap else None)
-        self._run_batch = run_batch
+    def _route(self, ih: int, iw: int):
+        """Smallest bucket whose canvas holds the image unscaled; larger
+        images fall through to the largest canvas (letterbox downscales)."""
+        for hw, batcher in self._buckets:
+            if ih <= hw[0] and iw <= hw[1]:
+                return hw, batcher
+        return self._buckets[-1]
 
     def warmup(self):
-        """Trace + compile the full engine path on a dummy batch so the
-        first real request never pays the XLA compile (minutes-scale cold;
-        VERDICT r2 weak #3). Called by :meth:`serve` before binding."""
-        h, w = self.cfg.model.image_size
-        self._run_batch(np.zeros((self.batcher.batch_size, h, w, 3),
-                                 np.uint8))
+        """Trace + compile every bucket's engine path on a dummy batch so
+        the first real request never pays the XLA compile (minutes-scale
+        cold; VERDICT r2 weak #3). Called by :meth:`serve` before
+        binding."""
+        for (hw, batcher), run in zip(self._buckets, self._runs):
+            run(np.zeros((batcher.batch_size, *hw, 3), np.uint8))
 
     # ---- request path (runs in HTTP handler threads) ----
 
@@ -332,9 +408,10 @@ class DetectionServer:
 
         img = self._decode(data)
         ih, iw = img.shape[:2]
+        canvas_hw, batcher = self._route(ih, iw)
         canvas, _, scale = letterbox(img, np.zeros((0, 4), np.float32),
-                                     self.cfg.model.image_size)
-        boxes, scores, labels, nv = self.batcher.submit(canvas)
+                                     canvas_hw)
+        boxes, scores, labels, nv = batcher.submit(canvas)
         out = []
         for i in range(nv):
             if scores[i] < self.score_threshold:
@@ -392,13 +469,15 @@ class DetectionServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    b = outer.batcher
+                    bs = [b for _, b in outer._buckets]
                     self._json(200, {
                         "status": "ok", "engine": outer.engine,
-                        "batch_size": b.batch_size,
+                        "batch_size": outer.batcher.batch_size,
                         "image_size": list(outer.cfg.model.image_size),
-                        "submitted": b.submitted, "completed": b.completed,
-                        "rejected": b.rejected})
+                        "buckets": [list(hw) for hw, _ in outer._buckets],
+                        "submitted": sum(b.submitted for b in bs),
+                        "completed": sum(b.completed for b in bs),
+                        "rejected": sum(b.rejected for b in bs)})
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -433,4 +512,5 @@ class DetectionServer:
     def shutdown(self):
         if self._httpd is not None:
             self._httpd.shutdown()
-        self.batcher.close()
+        for _, batcher in self._buckets:
+            batcher.close()

@@ -155,7 +155,9 @@ def server():
     t = threading.Thread(target=srv.serve, args=("127.0.0.1", 0, ready),
                          daemon=True)
     t.start()
-    assert ready.wait(10)
+    # serve() compiles the engine BEFORE binding (warmup-off-request-path);
+    # a cold XLA cache on the 1-core box takes minutes, not seconds
+    assert ready.wait(600)
     yield srv
     srv.shutdown()
     t.join(timeout=5)
@@ -270,3 +272,64 @@ def test_http_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_canvas_bucketing_routes_by_image_size():
+    """buckets=(32, 64): one compiled engine per canvas; a small image is
+    served from the 32 canvas (4x less conv work), a large one from 64.
+    Boxes still come back clipped to ORIGINAL image coordinates."""
+    cfg = get_config(
+        "retinanet_r50_640",
+        **{"model.image_size": (64, 64), "model.num_classes": 4,
+           "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    srv = DetectionServer(variables, cfg, engine="fp", batch_size=2,
+                          score_threshold=0.0, buckets=(32, 64))
+    assert [hw for hw, _ in srv._buckets] == [(32, 32), (64, 64)]
+    small_b, large_b = (b for _, b in srv._buckets)
+
+    def _jpeg(h, w):
+        from PIL import Image
+        buf = io.BytesIO()
+        arr = np.random.default_rng(h).integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    dets = srv.detect_bytes(_jpeg(30, 24))
+    assert small_b.submitted == 1 and large_b.submitted == 0
+    for d in dets:
+        x0, y0, x1, y1 = d["box"]
+        assert 0 <= x0 <= x1 <= 24 and 0 <= y0 <= y1 <= 30
+
+    dets = srv.detect_bytes(_jpeg(90, 120))  # > both canvases: letterbox
+    assert large_b.submitted == 1
+    for d in dets:
+        x0, y0, x1, y1 = d["box"]
+        assert 0 <= x0 <= x1 <= 120 and 0 <= y0 <= y1 <= 90
+    srv.shutdown()
+
+    with pytest.raises(ValueError, match="fp or int8"):
+        DetectionServer(variables, cfg, engine="/tmp/x.stablehlo",
+                        buckets=(32, 64))
+
+
+def test_canvas_bucketing_int8_recalibrates_per_bucket():
+    """int8 + buckets: the SAME calibration canvases drive every bucket
+    (host-resized per canvas), and each bucket serves detections."""
+    cfg = get_config(
+        "retinanet_r50_640",
+        **{"model.image_size": (64, 64), "model.num_classes": 4,
+           "model.dtype": "float32", "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    calib = np.random.default_rng(6).integers(0, 256, (2, 64, 64, 3),
+                                              np.uint8)
+    srv = DetectionServer(variables, cfg, engine="int8", batch_size=2,
+                          score_threshold=0.0, buckets=(32, 64),
+                          calibration=calib)
+    for hw, batcher in srv._buckets:
+        boxes, scores, labels, nv = batcher.submit(
+            np.zeros((*hw, 3), np.uint8))
+        assert boxes.shape == (10, 4) and nv >= 0
+    srv.shutdown()
