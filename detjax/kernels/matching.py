@@ -152,7 +152,8 @@ def match_iou_pallas(
     # batch instead of being replicated (see kernels/spmd.py)
     from detjax.kernels.spmd import batch_spmd_call
 
-    pack, idx = batch_spmd_call(_call, (apack, gpack), (False, True))
+    pack, idx = batch_spmd_call(_call, (apack, gpack), (False, True),
+                                key=("match", tile, g_pad, interpret))
     max_iou = pack[:, 0, :a]
     matched_boxes = jnp.transpose(pack[:, 1:5, :a], (0, 2, 1))  # [B, A, 4]
     matched_labels_raw = pack[:, 5, :a].astype(jnp.int32)

@@ -165,7 +165,10 @@ def nms_pallas(
     # batch-SPMD rule: per-shard NMS under pjit (see kernels/spmd.py)
     from detjax.kernels.spmd import batch_spmd_call
 
-    idx, kscr = batch_spmd_call(_call, (pack, scr), (True, True))
+    idx, kscr = batch_spmd_call(
+        _call, (pack, scr), (True, True),
+        key=("nms", n_pad, md_pad, max_det, float(iou_threshold),
+             interpret))
     return idx[:, 0, :max_det], kscr[:, 0, :max_det]
 
 
@@ -266,5 +269,8 @@ def decode_boxes_pallas(
     # batch-SPMD rule: per-shard decode under pjit (see kernels/spmd.py)
     from detjax.kernels.spmd import batch_spmd_call
 
-    out = batch_spmd_call(_call, (dt, at), (True, False))
+    out = batch_spmd_call(
+        _call, (dt, at), (True, False),
+        key=("decode", tuple(float(s) for s in std), image_size, tile,
+             interpret))
     return jnp.transpose(out[:, :4, :n], (0, 2, 1))

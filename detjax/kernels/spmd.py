@@ -41,8 +41,23 @@ def _batch_axes(sharding):
     return spec[0]
 
 
+# Process-lifetime memo of custom_partitioning wrappers, keyed by
+# (site key, batched flags, operand shapes/dtypes). A custom_partitioning
+# object registers Python callbacks whose POINTER is baked into the
+# compilation-cache key and the lowered custom call; building a fresh one
+# per invocation lets it be GC'd after the trace, and a later allocation
+# can land on the recycled address — the persistent compile cache then
+# HITS the stale entry and deserializes an executable referencing the
+# dead callback (observed as a deterministic segfault in
+# jax compilation_cache.get_executable_and_time when the full test suite
+# runs in one process). Keeping one wrapper alive per call signature makes
+# the pointers stable for the process lifetime: same-process hits are
+# valid, cross-process keys simply miss and recompile.
+_CP_CACHE: dict = {}
+
+
 def batch_spmd_call(fn: Callable, args: Sequence[jax.Array],
-                    batched: Sequence[bool]):
+                    batched: Sequence[bool], key=None):
     """Run ``fn(*args)`` under a batch-dim-only SPMD partitioning rule.
 
     ``batched[i]`` marks operands whose dim 0 is the batch; every result of
@@ -50,9 +65,25 @@ def batch_spmd_call(fn: Callable, args: Sequence[jax.Array],
     need-replication, so the partitioner all-gathers any stray sharding
     (e.g. an anchor axis inheriting 'space' from spatial partitioning)
     before the kernel and shards only over the batch.
+
+    ``key`` is a hashable site identifier covering every non-operand value
+    ``fn`` closes over (thresholds, tile sizes, interpret flag, ...): the
+    wrapper is memoized per (key, batched, operand shapes/dtypes) and the
+    FIRST ``fn`` seen for a signature is reused for all later calls — see
+    ``_CP_CACHE``. Passing ``key=None`` disables memoization (safe, but
+    reintroduces the GC'd-callback cache hazard under a persistent
+    compilation cache).
     """
     if not _multi_device():
         return fn(*args)
+
+    memo_key = None
+    if key is not None:
+        memo_key = (key, tuple(batched),
+                    tuple((a.shape, str(a.dtype)) for a in args))
+        cp = _CP_CACHE.get(memo_key)
+        if cp is not None:
+            return cp(*args)
 
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -121,4 +152,6 @@ def batch_spmd_call(fn: Callable, args: Sequence[jax.Array],
         sharding_rule=rule,
         need_replication_factors=tuple(repl),
     )
+    if memo_key is not None:
+        _CP_CACHE[memo_key] = cp
     return cp(*args)

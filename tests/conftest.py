@@ -35,3 +35,45 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Release compiled executables after every test module.
+
+    Each XLA:CPU executable holds JIT code pages and buffers as separate
+    memory mappings; with ~186 tests compiling in one process the map
+    count crosses vm.max_map_count (65530 here) late in the suite, and
+    the next mmap — inside the persistent compile cache's READ path —
+    fails and segfaults natively (measured: 65459 maps right before the
+    crash, fds/threads flat; see the DETJAX_DIAG_RES hook below).
+    Clearing jax's in-memory caches frees the executables; the disk
+    compile cache makes any cross-module re-jit a cheap cache hit.
+    """
+    yield
+    jax.clear_caches()
+
+
+# Opt-in per-test resource telemetry (DETJAX_DIAG_RES=<path>): appends one
+# line per test with the process's open-fd / memory-mapping / thread
+# counts. Added to chase a full-suite-only segfault inside the persistent
+# compile cache's READ path — if a count plateaus at a system limit right
+# before the crash, the leak (not the crashing test) is the bug.
+_DIAG_PATH = os.environ.get("DETJAX_DIAG_RES")
+if _DIAG_PATH:
+
+    @pytest.hookimpl(hookwrapper=True)
+    def pytest_runtest_teardown(item, nextitem):
+        yield
+        try:
+            n_fds = len(os.listdir("/proc/self/fd"))
+            with open("/proc/self/maps") as f:
+                n_maps = sum(1 for _ in f)
+            with open("/proc/self/status") as f:
+                threads = next(
+                    (line.split()[1] for line in f
+                     if line.startswith("Threads:")), "?")
+            with open(_DIAG_PATH, "a") as f:
+                f.write(f"{n_fds}\t{n_maps}\t{threads}\t{item.nodeid}\n")
+        except OSError:
+            pass

@@ -336,3 +336,35 @@ class TestBatchSPMD:
         out = f(jax.device_put(deltas, sh))
         assert len(out.addressable_shards) == 8
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    def test_wrapper_memoized_per_signature(self):
+        # One custom_partitioning object per (key, batched, signature),
+        # alive for the process lifetime. A fresh wrapper per trace lets
+        # GC recycle the callback pointer that JAX bakes into the
+        # persistent-compile-cache key; a later allocation on the same
+        # address then HITS the stale entry and deserializing it
+        # segfaults (observed as the full-suite crash at
+        # test_train_step::test_empty_gt_batch_finite, round 3).
+        from detjax.kernels.spmd import _CP_CACHE, batch_spmd_call
+
+        x = jnp.ones((8, 4), jnp.float32)
+        before = dict(_CP_CACHE)
+
+        out1 = batch_spmd_call(lambda v: v * 2, (x,), (True,),
+                               key=("memo-test",))
+        new = {k: v for k, v in _CP_CACHE.items() if k not in before}
+        assert len(new) == 1
+        (stored,) = new.values()
+
+        # a DIFFERENT fn object with the same key+signature reuses the
+        # stored wrapper (so its callbacks — and their addresses — live on)
+        out2 = batch_spmd_call(lambda v: v * 2, (x,), (True,),
+                               key=("memo-test",))
+        again = {k: v for k, v in _CP_CACHE.items() if k not in before}
+        assert len(again) == 1 and next(iter(again.values())) is stored
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+        # a different signature (shape) gets its own wrapper
+        batch_spmd_call(lambda v: v * 2, (jnp.ones((4, 4), jnp.float32),),
+                        (True,), key=("memo-test",))
+        assert len([k for k in _CP_CACHE if k not in before]) == 2
