@@ -25,7 +25,12 @@ def main():
                          "checkpoint; pass the same --set here)")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
+    from detjax.utils.cache import (add_compile_cache_flag,
+                                    apply_compile_cache_flag)
+
+    add_compile_cache_flag(ap)
     args = ap.parse_args()
+    apply_compile_cache_flag(args)
 
     import numpy as np
     from PIL import Image

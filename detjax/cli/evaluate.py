@@ -29,7 +29,12 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--set", action="append", dest="overrides")
+    from detjax.utils.cache import (add_compile_cache_flag,
+                                    apply_compile_cache_flag)
+
+    add_compile_cache_flag(ap)
     args = ap.parse_args()
+    apply_compile_cache_flag(args)
 
     from detjax.cli.common import load_variables, parse_overrides
     from detjax.data import CocoDataset, CSVDataset, SyntheticDetectionDataset

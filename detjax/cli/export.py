@@ -34,7 +34,12 @@ def main():
                          "path: one dispatch, 4x fewer H2D bytes)")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
+    from detjax.utils.cache import (add_compile_cache_flag,
+                                    apply_compile_cache_flag)
+
+    add_compile_cache_flag(ap)
     args = ap.parse_args()
+    apply_compile_cache_flag(args)
 
     import os
 

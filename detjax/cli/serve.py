@@ -32,12 +32,25 @@ def main():
                          "canvas size (e.g. --buckets 320 640) and route "
                          "each image to the smallest canvas that holds it "
                          "unscaled (fp/int8 engines)")
+    ap.add_argument("--mesh", type=int, nargs="?", const=0, default=None,
+                    metavar="N",
+                    help="SPMD serving: shard each batch over a "
+                         "data-parallel mesh of N local devices (bare "
+                         "flag: all devices); --batch-size must be "
+                         "divisible by N (fp/int8 engines)")
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
                     help="request-coalescing window")
     ap.add_argument("--score-threshold", type=float, default=0.3)
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
+    from detjax.utils.cache import (add_compile_cache_flag,
+                                    apply_compile_cache_flag)
+
+    add_compile_cache_flag(ap, default_on=True)
     args = ap.parse_args()
+    cache_dir = apply_compile_cache_flag(args, default_on=True)
+    if cache_dir:
+        print(f"persistent compile cache: {cache_dir}")
 
     from detjax.cli.common import load_variables, parse_overrides
     from detjax.data.coco import COCO_CLASSES
@@ -60,10 +73,22 @@ def main():
                                              normalize=False)
         print(f"int8 PTQ calibration: {len(args.int8_calibrate)} image(s)")
 
+    mesh = None
+    if args.mesh is not None:
+        import jax
+
+        from detjax.parallel.mesh import make_mesh
+
+        devices = jax.devices() if args.mesh == 0 else \
+            jax.devices()[:args.mesh]
+        mesh = make_mesh(devices)
+        print(f"SPMD serving mesh: {len(devices)} device(s)")
+
     server = DetectionServer(
         variables, cfg, engine=args.engine, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, score_threshold=args.score_threshold,
-        class_names=names, calibration=calibration, buckets=args.buckets)
+        class_names=names, calibration=calibration, buckets=args.buckets,
+        mesh=mesh)
 
     import signal
     import threading

@@ -71,7 +71,12 @@ def main():
                          "checkpoints (executes code from the file)")
     ap.add_argument("--set", action="append", dest="overrides",
                     metavar="group.field=value")
+    from detjax.utils.cache import (add_compile_cache_flag,
+                                    apply_compile_cache_flag)
+
+    add_compile_cache_flag(ap)
     args = ap.parse_args()
+    apply_compile_cache_flag(args)
     if not args.synthetic and not (args.coco_path or args.train_ann
                                    or args.csv_train):
         ap.error("one of --coco-path, --train-ann, --csv-train or "

@@ -205,11 +205,19 @@ class MicroBatcher:
 
 
 def _build_engine(variables, cfg, engine: str, batch_size: int,
-                  calibration: Optional[np.ndarray]):
+                  calibration: Optional[np.ndarray], mesh=None):
     """One compiled detect engine at ``cfg.model.image_size``.
 
     Returns ``(dispatch, finalize, run_batch)`` — the MicroBatcher trio.
     ``engine``: "fp", "int8", or a StableHLO artifact path.
+
+    ``mesh``: shard each serving batch over the mesh's ``data`` axis —
+    SPMD serving scale-out on a multi-chip slice (e.g. v5e-8): params are
+    replicated once, every dispatched batch is split across the chips and
+    XLA partitions the whole fused detect graph (the per-image postprocess
+    included — there is no cross-image math in detect, so the partition is
+    collective-free until the host fetch). fp/int8 only: a StableHLO
+    artifact is compiled for one device topology.
     """
     import jax
     import jax.numpy as jnp
@@ -219,6 +227,27 @@ def _build_engine(variables, cfg, engine: str, batch_size: int,
     h, w = cfg.model.image_size
     rng = jax.random.PRNGKey(0)
     mean, std = cfg.data.mean, cfg.data.std
+
+    batch_shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if engine not in ("fp", "int8"):
+            raise ValueError(
+                "mesh= requires the fp or int8 engine: a StableHLO "
+                "artifact is compiled for one device topology")
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size={batch_size} must be divisible by the "
+                f"mesh's data axis ({n_data} devices)")
+        # image rows additionally shard over 'space' on a 2-D mesh — the
+        # same spatial partition the evaluator/train step ride
+        spec = (P("data", "space") if "space" in mesh.axis_names
+                else P("data"))
+        batch_shard = NamedSharding(mesh, spec)
+        _repl = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, _repl)
 
     # fp/int8 run normalize+detect as ONE jit region over raw uint8
     # canvases (modeling.detect_u8 / quant.detect_int8_u8): one
@@ -259,6 +288,10 @@ def _build_engine(variables, cfg, engine: str, batch_size: int,
                 f"canvases, got {calibration.shape}")
         qtree = quant.quantize_model(
             variables, cfg, _normalize(calibration))
+        if mesh is not None:  # replicate the quantized tree like the params
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            qtree = jax.device_put(qtree, NamedSharding(mesh, P()))
 
         run = lambda x_u8: quant.detect_int8_u8(qtree, x_u8, cfg)
     else:  # path to a serialized StableHLO artifact
@@ -282,6 +315,8 @@ def _build_engine(variables, cfg, engine: str, batch_size: int,
     def dispatch_batch(canvases_u8: np.ndarray):
         # async: jit dispatch returns device handles immediately, so
         # the NEXT batch's normalize+H2D overlaps this one's compute
+        if batch_shard is not None:  # split the batch across the mesh
+            return run(jax.device_put(canvases_u8, batch_shard))
         return run(jnp.asarray(canvases_u8))
 
     def finalize_batch(det, n: int):
@@ -329,6 +364,12 @@ class DetectionServer:
     unchanged accuracy for the large images. fp/int8 engines only (a
     StableHLO artifact has ONE baked input shape); int8 recalibrates per
     bucket from the same calibration canvases (host-resized).
+
+    ``mesh``: SPMD serving scale-out — shard every dispatched batch over
+    the mesh's ``data`` axis (params replicated once); one server process
+    drives a whole slice, ``batch_size`` divisible by the data-axis size.
+    Composes with buckets (each bucket engine rides the mesh); fp/int8
+    engines only.
     """
 
     def __init__(self, variables, cfg, engine: str = "fp",
@@ -337,7 +378,7 @@ class DetectionServer:
                  calibration: Optional[np.ndarray] = None,
                  class_names: Optional[Sequence[str]] = None,
                  max_queue_batches: int = 8, overlap: bool = True,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None, mesh=None):
         import dataclasses
 
         self.cfg = cfg
@@ -373,7 +414,7 @@ class DetectionServer:
                 cal_b = _resize_canvases_u8(
                     np.asarray(calibration, np.uint8), cfg_b.model.image_size)
             dispatch, finalize, run_batch = _build_engine(
-                variables, cfg_b, engine, batch_size, cal_b)
+                variables, cfg_b, engine, batch_size, cal_b, mesh=mesh)
             batcher = MicroBatcher(
                 run_batch, batch_size, cfg_b.model.image_size, max_wait_ms,
                 max_queue_batches=max_queue_batches,

@@ -314,6 +314,68 @@ def test_canvas_bucketing_routes_by_image_size():
                         buckets=(32, 64))
 
 
+def test_mesh_sharded_serving_matches_single_device():
+    """mesh=: one server process shards every dispatched batch over the
+    8-device mesh (SPMD serving scale-out); detections match the
+    single-device engine on the same canvases."""
+    from detjax.parallel.mesh import make_mesh
+
+    cfg = get_config(
+        "retinanet_r50_640",
+        **{"model.image_size": (64, 64), "model.num_classes": 4,
+           "model.dtype": "float32", "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    canvas = np.random.default_rng(7).integers(0, 256, (64, 64, 3),
+                                               np.uint8)
+
+    single = DetectionServer(variables, cfg, engine="fp", batch_size=8,
+                             score_threshold=0.0)
+    rb, rs, rl, rn = single.batcher.submit(canvas)
+    single.batcher.close()
+
+    mesh = make_mesh()  # the 8 fake CPU devices (conftest)
+    assert mesh.shape["data"] == 8
+    srv = DetectionServer(variables, cfg, engine="fp", batch_size=8,
+                          score_threshold=0.0, mesh=mesh)
+    mb_, ms, ml, mn = srv.batcher.submit(canvas)
+    srv.batcher.close()
+
+    assert mn == rn
+    np.testing.assert_allclose(mb_[:mn], rb[:rn], atol=1e-5)
+    np.testing.assert_allclose(ms[:mn], rs[:rn], atol=1e-6)
+    assert np.array_equal(ml[:mn], rl[:rn])
+
+    with pytest.raises(ValueError, match="divisible"):
+        DetectionServer(variables, cfg, engine="fp", batch_size=3,
+                        mesh=mesh)
+    with pytest.raises(ValueError, match="fp or int8"):
+        DetectionServer(variables, cfg, engine="/tmp/x.stablehlo",
+                        batch_size=8, mesh=mesh)
+
+
+def test_mesh_sharded_serving_int8_smoke():
+    """int8 + mesh: the quantized tree replicates onto the mesh and the
+    engine serves sharded batches."""
+    from detjax.parallel.mesh import make_mesh
+
+    cfg = get_config(
+        "retinanet_r50_640",
+        **{"model.image_size": (64, 64), "model.num_classes": 4,
+           "model.dtype": "float32", "model.backbone_depth": 18,
+           "eval.pre_nms_top_k": 50, "eval.max_detections": 10})
+    _, variables = build_model(cfg)
+    calib = np.random.default_rng(6).integers(0, 256, (2, 64, 64, 3),
+                                              np.uint8)
+    srv = DetectionServer(variables, cfg, engine="int8", batch_size=8,
+                          score_threshold=0.0, calibration=calib,
+                          mesh=make_mesh())
+    boxes, scores, labels, nv = srv.batcher.submit(
+        np.zeros((64, 64, 3), np.uint8))
+    assert boxes.shape == (10, 4) and nv >= 0
+    srv.shutdown()
+
+
 def test_canvas_bucketing_int8_recalibrates_per_bucket():
     """int8 + buckets: the SAME calibration canvases drive every bucket
     (host-resized per canvas), and each bucket serves detections."""
