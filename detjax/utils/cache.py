@@ -43,10 +43,12 @@ def enable_compile_cache(cache_dir: Optional[str] = None,
     the first ``detect``/train-step call is fine — the cache is consulted
     per-compile, not per-process). ``min_compile_secs=0`` caches every
     executable: serving wants the whole engine warm on restart, and the
-    per-entry key check makes small entries cheap.
+    per-entry key check makes small entries cheap. Long-lived non-serve
+    hosts should pass a positive ``min_compile_secs`` (the CLI path does)
+    so trivial executables don't grow the cache dir unboundedly.
 
     Returns the directory actually used. Respects ``DETJAX_COMPILE_CACHE``
-    when ``cache_dir`` is not given.
+    when ``cache_dir`` is falsy (None or the bare-flag sentinel "").
     """
     import jax
 
@@ -64,11 +66,16 @@ def add_compile_cache_flag(ap, default_on: bool = False) -> None:
     """Attach ``--compile-cache [DIR]`` (and ``--no-compile-cache`` when
     ``default_on``) to an argparse parser. Pair with
     :func:`apply_compile_cache_flag` after ``parse_args``."""
+    # bare flag → sentinel "" (NOT DEFAULT_DIR): enable_compile_cache
+    # resolves env-var-then-DEFAULT_DIR in one place, so `--compile-cache`
+    # and serve's default-on path honor DETJAX_COMPILE_CACHE identically
+    # (ADVICE r3)
     ap.add_argument(
-        "--compile-cache", nargs="?", const=DEFAULT_DIR, default=None,
+        "--compile-cache", nargs="?", const="", default=None,
         metavar="DIR",
         help="persistent XLA compilation cache directory so process "
-             f"restarts skip recompiles (bare flag → {DEFAULT_DIR})"
+             f"restarts skip recompiles (bare flag → $DETJAX_COMPILE_CACHE "
+             f"or {DEFAULT_DIR})"
              + (" [default: on]" if default_on else ""))
     if default_on:
         ap.add_argument("--no-compile-cache", action="store_true",
@@ -76,9 +83,16 @@ def add_compile_cache_flag(ap, default_on: bool = False) -> None:
 
 
 def apply_compile_cache_flag(args, default_on: bool = False) -> Optional[str]:
-    """Enable the cache per parsed flags; returns the dir or None."""
+    """Enable the cache per parsed flags; returns the dir or None.
+
+    Serving (``default_on``) caches every executable (restart wants the
+    whole engine warm); other CLIs — long-lived train/eval hosts — keep
+    JAX's default min-compile-time threshold so the cache dir doesn't
+    grow one entry per trivial executable (ADVICE r3)."""
     if default_on and getattr(args, "no_compile_cache", False):
         return None
     if args.compile_cache is None and not default_on:
         return None
-    return enable_compile_cache(args.compile_cache)
+    min_secs = 0.0 if default_on else 1.0  # 1.0 = JAX's own default
+    return enable_compile_cache(args.compile_cache,
+                                min_compile_secs=min_secs)

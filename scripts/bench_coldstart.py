@@ -29,12 +29,80 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def attribute(args):
+    """Phase-attributed cold start (VERDICT r3 #5): where do the seconds
+    of a serving restart actually go, and does a populated compile cache
+    remove the backend-compile phase?
+
+    Phases: python imports → backend init → jit trace/lowering → backend
+    compile (the ONLY phase the persistent cache can remove — on a hit it
+    becomes executable deserialization) → first dispatch+execute. Run
+    twice with the same --cache dir; compare the `compile_s` rows. Cache
+    hit/miss is read from the cache dir's file set (a hit writes
+    nothing)."""
+    import pathlib
+
+    t0 = time.time()
+    from detjax.utils.cache import enable_compile_cache
+
+    cache_dir = enable_compile_cache(args.cache)
+    pre = {p for p in pathlib.Path(cache_dir).rglob("*") if p.is_file()}
+
+    import jax  # noqa: F811
+
+    from detjax.config import get_config
+    from detjax.modeling import _detect_u8_fn, build_model
+
+    t_imports = time.time() - t0
+    t0 = time.time()
+    dev = jax.devices()[0]
+    t_backend = time.time() - t0
+
+    cfg = get_config("retinanet_r50_640")
+    _, variables = build_model(cfg)  # includes the init jit (tiny)
+    h, w = cfg.model.image_size
+    spec = jax.ShapeDtypeStruct((args.batch_size, h, w, 3), "uint8")
+
+    fn = _detect_u8_fn(cfg)
+    t0 = time.time()
+    lowered = fn.lower(variables, spec)
+    t_trace = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+
+    canvases = np.zeros((args.batch_size, h, w, 3), np.uint8)
+    t0 = time.time()
+    det = compiled(variables, canvases)
+    np.asarray(det.num_valid)  # force through the tunnel
+    t_first = time.time() - t0
+
+    wrote = [p for p in pathlib.Path(cache_dir).rglob("*")
+             if p.is_file() and p not in pre]
+    total_bytes = sum(p.stat().st_size for p in wrote)
+    print(f"backend           {dev.platform} ({dev.device_kind})")
+    print(f"imports_s         {t_imports:8.2f}")
+    print(f"backend_init_s    {t_backend:8.2f}")
+    print(f"trace_s           {t_trace:8.2f}")
+    print(f"compile_s         {t_compile:8.2f}   "
+          f"({'MISS: wrote %d entries, %.1f MB' % (len(wrote), total_bytes / 1e6) if wrote else 'cache HIT: nothing written'})")
+    print(f"first_dispatch_s  {t_first:8.2f}")
+    print("ATTRIBUTION OK")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cache", required=True)
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--attribute", action="store_true",
+                    help="phase-attributed single-engine cold start "
+                         "(imports/backend/trace/compile/dispatch) instead "
+                         "of the full-server warmup")
     args = ap.parse_args()
+    if args.attribute:
+        attribute(args)
+        return
 
     t_start = time.time()
     from detjax.utils.cache import enable_compile_cache

@@ -60,11 +60,15 @@ def test_flag_plumbing_parses_without_touching_jax():
     ap = argparse.ArgumentParser()
     add_compile_cache_flag(ap)
     assert ap.parse_args([]).compile_cache is None
-    assert ap.parse_args(["--compile-cache"]).compile_cache == DEFAULT_DIR
+    # bare flag → sentinel "" so enable_compile_cache resolves
+    # env-var-then-DEFAULT_DIR in one place (ADVICE r3) — same precedence
+    # as serve's default-on path
+    assert ap.parse_args(["--compile-cache"]).compile_cache == ""
     assert ap.parse_args(
         ["--compile-cache", "/x"]).compile_cache == "/x"
     # no flag + not default-on → no jax config mutation (returns early)
     assert apply_compile_cache_flag(ap.parse_args([])) is None
+    assert DEFAULT_DIR  # still exported for help text / library callers
 
     ap2 = argparse.ArgumentParser()
     add_compile_cache_flag(ap2, default_on=True)
