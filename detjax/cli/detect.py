@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve through the int8 PTQ engine (detjax/quant.py;"
                          " calibrates on the first input image)")
+    ap.add_argument("--int8-calib-mode", default="absmax",
+                    choices=("absmax", "p999"),
+                    help="PTQ activation-range estimator: full abs-max or "
+                         "99.9th-percentile clip (robust to activation "
+                         "outliers; see BASELINE.md calibration study)")
     ap.add_argument("--ema", action="store_true",
                     help="use the EMA shadow params (train.ema_decay>0 "
                          "checkpoint; pass the same --set here)")
@@ -70,7 +75,8 @@ def main():
                       f"{path} (first input image); detections for other "
                       "images depend on this image's activation ranges",
                       file=sys.stderr)
-                qtree = quant.quantize_model(variables, cfg, x)
+                qtree = quant.quantize_model(
+                    variables, cfg, x, calib_mode=args.int8_calib_mode)
             det = quant.detect_int8(qtree, x, cfg)
         else:
             det = detect(variables, x, cfg)

@@ -22,6 +22,11 @@ def main():
                     help="evaluate through the int8 PTQ engine (calibrates "
                          "on the first eval batch) — the PTQ accuracy-"
                          "acceptance run")
+    ap.add_argument("--int8-calib-mode", default="absmax",
+                    choices=("absmax", "p999"),
+                    help="PTQ activation-range estimator: full abs-max or "
+                         "99.9th-percentile clip (robust to activation "
+                         "outliers; see BASELINE.md calibration study)")
     ap.add_argument("--ema", action="store_true",
                     help="evaluate the EMA shadow params (checkpoint must "
                          "be trained with train.ema_decay>0; pass the same "
@@ -68,7 +73,8 @@ def main():
                 print("int8: calibrating PTQ activation ranges on the "
                       "first eval batch; results depend on eval-set order",
                       file=sys.stderr)
-                qstate["q"] = quant.quantize_model(variables, cfg, x)
+                qstate["q"] = quant.quantize_model(
+                    variables, cfg, x, calib_mode=args.int8_calib_mode)
             return quant.detect_int8(qstate["q"], x, cfg)
 
     if args.voc:

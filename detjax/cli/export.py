@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--int8-calibrate", nargs="+", metavar="IMAGE",
                     help="PTQ-quantize on these image files and export the "
                          "INT8 engine's graph instead of the fp one")
+    ap.add_argument("--int8-calib-mode", default="absmax",
+                    choices=("absmax", "p999"),
+                    help="PTQ activation-range estimator: full abs-max or "
+                         "99.9th-percentile clip (robust to activation "
+                         "outliers; see BASELINE.md calibration study)")
     ap.add_argument("--input", default="fp32", choices=("fp32", "u8"),
                     help="artifact input signature: normalized fp32 images "
                          "(legacy) or raw uint8 canvases with mean/std "
@@ -62,7 +67,7 @@ def main():
     platforms = tuple(p for p in args.platforms.split(",") if p) or None
     save_detect(args.out, variables, cfg, batch_size=args.batch_size,
                 platforms=platforms, calibration=calibration,
-                input_format=args.input)
+                input_format=args.input, calib_mode=args.int8_calib_mode)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB, "
           f"batch={args.batch_size}, image={cfg.model.image_size}, "
           f"input={args.input})")
@@ -84,7 +89,8 @@ def main():
             # deterministic given the same calibration batch)
             from detjax import quant
 
-            qtree = quant.quantize_model(variables, cfg, calibration)
+            qtree = quant.quantize_model(variables, cfg, calibration,
+                                         calib_mode=args.int8_calib_mode)
             live = (quant.detect_int8_u8(qtree, images, cfg)
                     if args.input == "u8"
                     else quant.detect_int8(qtree, images, cfg))

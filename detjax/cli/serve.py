@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--int8-calibrate", nargs="+", metavar="IMAGE",
                     help="with --engine int8: image files to calibrate PTQ "
                          "activation ranges on (REQUIRED for int8)")
+    ap.add_argument("--int8-calib-mode", default="absmax",
+                    choices=("absmax", "p999"),
+                    help="PTQ activation-range estimator: full abs-max or "
+                         "99.9th-percentile clip (robust to activation "
+                         "outliers; see BASELINE.md calibration study)")
     ap.add_argument("--batch-size", type=int, default=8,
                     help="compiled micro-batch size")
     ap.add_argument("--buckets", type=int, nargs="+", metavar="SIZE",
@@ -79,8 +84,17 @@ def main():
 
         from detjax.parallel.mesh import make_mesh
 
-        devices = jax.devices() if args.mesh == 0 else \
-            jax.devices()[:args.mesh]
+        avail = jax.devices()
+        if args.mesh == 0:
+            devices = avail
+        else:
+            # a silent slice would start the server on fewer devices than
+            # requested (or a nonsense slice for negative N) — refuse up
+            # front instead (ADVICE r3)
+            if not 0 < args.mesh <= len(avail):
+                ap.error(f"--mesh {args.mesh}: need 1..{len(avail)} "
+                         f"(available devices: {len(avail)})")
+            devices = avail[:args.mesh]
         mesh = make_mesh(devices)
         print(f"SPMD serving mesh: {len(devices)} device(s)")
 
@@ -88,7 +102,7 @@ def main():
         variables, cfg, engine=args.engine, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, score_threshold=args.score_threshold,
         class_names=names, calibration=calibration, buckets=args.buckets,
-        mesh=mesh)
+        mesh=mesh, int8_calib_mode=args.int8_calib_mode)
 
     import signal
     import threading

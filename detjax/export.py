@@ -37,6 +37,7 @@ def export_detect(
     platforms: Optional[Sequence[str]] = None,
     calibration=None,
     input_format: str = "fp32",
+    calib_mode: str = "absmax",
     **overrides,
 ) -> "jax.export.Exported":
     """Export the fused detect step with ``variables`` baked in.
@@ -68,7 +69,8 @@ def export_detect(
     if calibration is not None:
         from detjax.quant import _detect_int8_fn, quantize_model
 
-        qtree = quantize_model(variables, cfg, jnp.asarray(calibration))
+        qtree = quantize_model(variables, cfg, jnp.asarray(calibration),
+                               calib_mode=calib_mode)
         run_q = _detect_int8_fn(cfg)
         fn = jax.jit(lambda images: run_q(qtree, images))
     else:
@@ -96,11 +98,12 @@ def save_detect(path: str, variables, cfg: Config | str = "retinanet_r50_640",
                 batch_size: int = 1,
                 platforms: Optional[Sequence[str]] = None,
                 calibration=None, input_format: str = "fp32",
+                calib_mode: str = "absmax",
                 **overrides) -> None:
     """Serialize an exported detect artifact to ``path`` (one file)."""
     exp = export_detect(variables, cfg, batch_size, platforms,
                         calibration=calibration, input_format=input_format,
-                        **overrides)
+                        calib_mode=calib_mode, **overrides)
     with open(path, "wb") as f:
         f.write(exp.serialize())
 

@@ -100,16 +100,29 @@ class _FpMode:
     Detector modules op for op. ``record=True`` collects per-site input
     abs-max for calibration."""
 
-    def __init__(self, variables, dtype=jnp.bfloat16, record: bool = False):
+    def __init__(self, variables, dtype=jnp.bfloat16, record: bool = False,
+                 calib_mode: str = "absmax"):
         self.p = variables["params"]
         self.s = variables.get("batch_stats", {})
         self.dtype = dtype
         self.record = record
+        if calib_mode not in CALIB_MODES:
+            raise ValueError(
+                f"calib_mode must be one of {sorted(CALIB_MODES)}, "
+                f"got {calib_mode!r}")
+        self.calib_mode = calib_mode
         self.stats: Dict[str, Array] = {}
 
     def _rec(self, site: str, x: Array) -> None:
         if self.record:
-            m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            a = jnp.abs(x.astype(jnp.float32))
+            if self.calib_mode == "absmax":
+                m = jnp.max(a)
+            else:  # "p999": clip the top 0.1% of activations — robust to
+                # lone outliers that would otherwise stretch the int8 range
+                # and waste resolution on the bulk (BASELINE.md calibration
+                # study, VERDICT r3 #7)
+                m = jnp.percentile(a.reshape(-1), 99.9)
             self.stats[site] = jnp.maximum(self.stats.get(site, 0.0), m)
 
     def _get(self, tree, path):
@@ -346,14 +359,25 @@ def forward_fp(variables, cfg: Config, images: Array,
     return _forward(_FpMode(variables, dtype), cfg, images)
 
 
-def calibrate(variables, cfg: Config, images: Array) -> Dict[str, np.ndarray]:
+# Activation-range estimators for PTQ calibration (VERDICT r3 #7):
+#   absmax — the full observed range maps to ±127 (no clipping; default).
+#   p999   — 99.9th percentile of |x|: clips rare outliers so the int8
+#            grid spends its 255 levels on the bulk of the distribution.
+# The robustness study (scripts/study_int8_calib.py → BASELINE.md) sweeps
+# both against calibration-set size and distribution shift.
+CALIB_MODES = ("absmax", "p999")
+
+
+def calibrate(variables, cfg: Config, images: Array,
+              calib_mode: str = "absmax") -> Dict[str, np.ndarray]:
     """One jitted pass over calibration ``images`` → per-site activation
-    abs-max scales (sx = absmax/127). Feed representative (normalized)
-    images; a handful of batches suffices for abs-max calibration."""
+    scales (sx = range/127, range per ``calib_mode``). Feed representative
+    (normalized) images; a handful of batches suffices."""
 
     @jax.jit
     def run(images):
-        mode = _FpMode(variables, jnp.bfloat16, record=True)
+        mode = _FpMode(variables, jnp.bfloat16, record=True,
+                       calib_mode=calib_mode)
         _forward(mode, cfg, images)
         return mode.stats
 
@@ -430,9 +454,12 @@ def forward_int8(qtree, cfg: Config, images: Array) -> Tuple[Array, Array]:
     return _forward(_Int8Mode(qtree), cfg, images)
 
 
-def quantize_model(variables, cfg: Config, calib_images: Array):
-    """Convenience: calibrate + quantize in one call."""
-    return quantize(variables, cfg, calibrate(variables, cfg, calib_images))
+def quantize_model(variables, cfg: Config, calib_images: Array,
+                   calib_mode: str = "absmax"):
+    """Convenience: calibrate + quantize in one call. ``calib_mode``:
+    see :data:`CALIB_MODES`."""
+    return quantize(variables, cfg,
+                    calibrate(variables, cfg, calib_images, calib_mode))
 
 
 @functools.lru_cache(maxsize=8)

@@ -205,7 +205,8 @@ class MicroBatcher:
 
 
 def _build_engine(variables, cfg, engine: str, batch_size: int,
-                  calibration: Optional[np.ndarray], mesh=None):
+                  calibration: Optional[np.ndarray], mesh=None,
+                  calib_mode: str = "absmax"):
     """One compiled detect engine at ``cfg.model.image_size``.
 
     Returns ``(dispatch, finalize, run_batch)`` — the MicroBatcher trio.
@@ -241,6 +242,12 @@ def _build_engine(variables, cfg, engine: str, batch_size: int,
             raise ValueError(
                 f"batch_size={batch_size} must be divisible by the "
                 f"mesh's data axis ({n_data} devices)")
+        if "space" in mesh.axis_names and h % mesh.shape["space"]:
+            # fail here with a clear message instead of deep inside
+            # device_put/XLA (ADVICE r3)
+            raise ValueError(
+                f"canvas height {h} must be divisible by the mesh's "
+                f"space axis ({mesh.shape['space']} devices)")
         # image rows additionally shard over 'space' on a 2-D mesh — the
         # same spatial partition the evaluator/train step ride
         spec = (P("data", "space") if "space" in mesh.axis_names
@@ -287,7 +294,7 @@ def _build_engine(variables, cfg, engine: str, batch_size: int,
                 f"calibration must be [N, {h}, {w}, 3] uint8 "
                 f"canvases, got {calibration.shape}")
         qtree = quant.quantize_model(
-            variables, cfg, _normalize(calibration))
+            variables, cfg, _normalize(calibration), calib_mode=calib_mode)
         if mesh is not None:  # replicate the quantized tree like the params
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -378,7 +385,8 @@ class DetectionServer:
                  calibration: Optional[np.ndarray] = None,
                  class_names: Optional[Sequence[str]] = None,
                  max_queue_batches: int = 8, overlap: bool = True,
-                 buckets: Optional[Sequence[int]] = None, mesh=None):
+                 buckets: Optional[Sequence[int]] = None, mesh=None,
+                 int8_calib_mode: str = "absmax"):
         import dataclasses
 
         self.cfg = cfg
@@ -386,6 +394,16 @@ class DetectionServer:
         self.class_names = class_names
         self.engine = engine
         self._httpd = None
+
+        if mesh is not None:
+            # replicate the params ONCE across the mesh here — each
+            # bucket's _build_engine device_put then sees an already
+            # correctly-placed tree and is a no-op, instead of N buckets
+            # holding N independent replicated copies in HBM (ADVICE r3)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
         if buckets:
             if engine not in ("fp", "int8"):
@@ -414,7 +432,8 @@ class DetectionServer:
                 cal_b = _resize_canvases_u8(
                     np.asarray(calibration, np.uint8), cfg_b.model.image_size)
             dispatch, finalize, run_batch = _build_engine(
-                variables, cfg_b, engine, batch_size, cal_b, mesh=mesh)
+                variables, cfg_b, engine, batch_size, cal_b, mesh=mesh,
+                calib_mode=int8_calib_mode)
             batcher = MicroBatcher(
                 run_batch, batch_size, cfg_b.model.image_size, max_wait_ms,
                 max_queue_batches=max_queue_batches,

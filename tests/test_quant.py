@@ -44,6 +44,28 @@ def test_forward_fp_matches_module(depth, family):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_calib_mode_percentile():
+    """p999 calibration clips activation outliers: its per-site scales are
+    <= absmax's everywhere, strictly smaller where outliers exist, and the
+    resulting engine still runs (VERDICT r3 #7; --int8-calib-mode)."""
+    cfg = _cfg(18)
+    _, variables = build_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    s_max = quant.calibrate(variables, cfg, x, calib_mode="absmax")
+    s_pct = quant.calibrate(variables, cfg, x, calib_mode="p999")
+    assert set(s_max) == set(s_pct)
+    assert all(s_pct[k] <= s_max[k] * (1 + 1e-6) for k in s_max)
+    # the input site sees raw gaussians → its 99.9th %ile is clearly
+    # below the max over ~24k samples
+    assert any(s_pct[k] < 0.97 * s_max[k] for k in s_max)
+    qtree = quant.quantize_model(variables, cfg, x, calib_mode="p999")
+    det = quant.detect_int8(qtree, x, cfg)
+    assert det.boxes.shape[-1] == 4
+    with pytest.raises(ValueError, match="calib_mode"):
+        quant.calibrate(variables, cfg, x, calib_mode="minmax")
+
+
 def test_quantize_tree_wellformed():
     cfg = _cfg(18)
     _, variables = build_model(cfg, jax.random.PRNGKey(0))
