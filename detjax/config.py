@@ -9,7 +9,7 @@ benchmark configs (BASELINE.json ``configs``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +62,17 @@ class ModelConfig:
     # custom VJP; "auto" = the measured best for the backend ("off" —
     # see ROADMAP round-3 conv-backward verdict); "off" = plain convs.
     dot_1x1: str = "off"
+    # Rematerialize the early backbone region in the backward pass
+    # instead of saving its activations to HBM: 0 = off, 1 = stem,
+    # 2 = stem+layer1, 3 = stem+layer1+layer2 — the stem/layer1
+    # bandwidth-overhang traffic-reduction A/B (VERDICT r3 #3; bit-
+    # identical numerics, measured verdict in docs/ROOFLINE.md).
+    remat_early: int = 0
+    # Variant (b): blocks of the first N backbone stages remat with their
+    # input stored as float8_e4m3 — halves the residual bytes AND drops
+    # the intra-block saves, at an f8-quantized-input accuracy cost
+    # (models/resnet._block_from_f8). Default off; A/B knob only.
+    f8_remat_stages: int = 0
 
     @property
     def num_anchors_per_cell(self) -> int:
@@ -144,8 +155,13 @@ class DataConfig:
     # overlaps the current step's compute (SURVEY.md §7). Right for real
     # TPU hosts; measured INVERTED through this box's axon tunnel, where
     # the prefetched transfer's bytes serialize ahead of the next step's
-    # dispatch commands (BASELINE.md round-3 note) — flip off to compare.
-    device_prefetch: bool = True
+    # dispatch commands (BASELINE.md round-3 note, 0.24× vs serial).
+    # "auto" (default): fit() times one real batch transfer against one
+    # compiled step at startup and enables prefetch only when the
+    # transfer is small enough to hide under compute
+    # (pipeline.prefetch_is_profitable — VERDICT r3 #4). True/False
+    # force it on/off.
+    device_prefetch: Any = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

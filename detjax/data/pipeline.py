@@ -279,6 +279,24 @@ class DetectionIterator:
             done.set()
 
 
+def prefetch_is_profitable(transfer_s: float, step_s: float,
+                           threshold: float = 0.5) -> bool:
+    """Decide whether double-buffered device prefetch helps on THIS host.
+
+    Prefetch wins when the next batch's H2D transfer hides under the
+    current step's compute — i.e. when the transfer is meaningfully
+    shorter than the step. Through a slow transport (this box's ~28 MB/s
+    axon tunnel) a prefetched batch's bytes serialize AHEAD of the next
+    step's dispatch commands, so every step waits out a full transfer and
+    prefetch measures 0.24× serial (BASELINE.md round-3 table). The
+    boundary: when one transfer costs ≥ ``threshold`` of a step, there is
+    no compute to hide it under — run serial. fit() measures both at
+    startup (one real batch, one compiled step) and calls this
+    (VERDICT r3 #4); ``cfg.data.device_prefetch=True/False`` overrides.
+    """
+    return transfer_s < threshold * step_s
+
+
 def device_prefetch(batches: Iterator[Dict[str, np.ndarray]],
                     size: int = 1, sharding=None):
     """Double-buffered ``jax.device_put``: keep ``size`` batches in flight

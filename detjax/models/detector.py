@@ -49,6 +49,8 @@ class Detector(nn.Module):
         feats = ResNet(stage_sizes=stage_sizes, block=block, dtype=dtype,
                        frozen_bn=cfg.frozen_backbone_bn,
                        fused_blocks=fused, dot_1x1=dot_1x1,
+                       remat_early=cfg.remat_early,
+                       f8_remat_stages=cfg.f8_remat_stages,
                        name="backbone")(images, train=train)
         feats = {l: f for l, f in feats.items() if l >= cfg.min_level}
         pyramid = FPN(min_level=cfg.min_level, max_level=cfg.max_level,

@@ -134,6 +134,21 @@ class DotConv1x1(nn.Module):
         return y.reshape(b, h, w, self.features)
 
 
+def _block_from_f8(mod: nn.Module, x8: Array) -> Array:
+    """Run a residual block from an fp8-stored input (lifted-remat body).
+
+    The traffic-reduction variant (b) of VERDICT r3 #3: each early block
+    is rematerialized with its INPUT saved as float8_e4m3 — 1 byte/elem
+    instead of bf16's 2 — so the backward recomputes the block from a
+    half-size residual and none of the intra-block activations round-trip
+    HBM. Forward and backward both consume the f8-rounded input
+    (consistent gradients); e4m3's ~2-digit mantissa on post-BN-ReLU
+    activations is an accuracy knob the e2e gates measure, which is why
+    the flag defaults off.
+    """
+    return mod(x8.astype(mod.dtype))
+
+
 def _fold_bn(kernel: Array, scale, bias, mean, var,
              eps: float = 1e-5) -> Tuple[Array, Array]:
     """Fold frozen-BN affine+stats into conv weights: returns
@@ -257,20 +272,61 @@ class ResNet(nn.Module):
     frozen_bn: bool = True
     fused_blocks: bool = False  # Pallas fused identity bottlenecks (TPU)
     dot_1x1: str = "off"  # stride-1 1×1 convs as dots: "off"|"full"|"dw"
+    # Rematerialize the early (bandwidth-bound) region in the backward
+    # instead of round-tripping its saved activations through HBM
+    # (VERDICT r3 #3 traffic-reduction A/B; measured verdicts in
+    # docs/ROOFLINE.md): 0 = off, 1 = stem, 2 = stem+layer1,
+    # 3 = stem+layer1+layer2. Numerics are bit-identical (same ops on the
+    # same inputs, recomputed).
+    remat_early: int = 0
+    # Variant (b) of the same A/B: blocks of the first N stages remat
+    # individually with their INPUT stored as float8_e4m3 (half of bf16's
+    # bytes; see _block_from_f8). Measure one variant at a time.
+    f8_remat_stages: int = 0
 
-    @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Dict[int, Array]:
-        # fused kernel assumes running-average BN (stats are constants
-        # foldable into the conv); with live batch stats fall back to XLA
-        fused = self.fused_blocks and (self.frozen_bn or not train)
-        norm = partial(
+    def _norm(self, train: bool):
+        return partial(
             nn.BatchNorm,
             use_running_average=self.frozen_bn or not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
         )
-        x = x.astype(self.dtype)
+
+    def _stage(self, x: Array, stage: int, train: bool) -> Array:
+        """One residual stage (layer{stage+1}); child names unchanged."""
+        fused = self.fused_blocks and (self.frozen_bn or not train)
+        norm = self._norm(train)
+        f = (64, 128, 256, 512)[stage]
+        for block in range(self.stage_sizes[stage]):
+            stride = 2 if block == 0 and stage > 0 else 1
+            if self.block == "basic":
+                mod = BasicBlock(
+                    f, stride=stride, dtype=self.dtype, norm=norm,
+                    name=f"layer{stage + 1}_block{block}")
+            else:
+                mod = BottleneckBlock(
+                    f, stride=stride, dtype=self.dtype, norm=norm,
+                    # only the bandwidth-bound stages win: measured at the
+                    # 640px/bs16 flagship, fused vs XLA fwd+bwd per block is
+                    # 5.3 vs 7.3 ms (layer1) and 2.8 vs 3.6 (layer2), but
+                    # par on layer3 and a loss on layer4 (compute-bound) —
+                    # scripts/profile_bottleneck.py
+                    fused=fused and stage < 2,
+                    dot_1x1=self.dot_1x1,
+                    name=f"layer{stage + 1}_block{block}")
+            if stage < self.f8_remat_stages:
+                x = nn.remat(_block_from_f8)(
+                    mod, x.astype(jnp.float8_e4m3fn))
+            else:
+                x = mod(x)
+        return x
+
+    def _early_segment(self, x: Array, train: bool):
+        """Stem + the first ``remat_early - 1`` stages as ONE segment —
+        the unit nn.remat wraps, so its saved activations are replaced by
+        recompute-in-backward. Returns (x, feats-so-far)."""
+        norm = self._norm(train)
         # torch-equivalent symmetric pad=3 (flax SAME would pad (2,3))
         x = Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                  dtype=self.dtype, name="conv1")(x)
@@ -283,25 +339,22 @@ class ResNet(nn.Module):
         # SelectAndScatter stays on the hot path (ROADMAP round-2 notes).
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats: Dict[int, Array] = {}
-        filters = (64, 128, 256, 512)
-        for stage, (size, f) in enumerate(zip(self.stage_sizes, filters)):
-            for block in range(size):
-                stride = 2 if block == 0 and stage > 0 else 1
-                if self.block == "basic":
-                    x = BasicBlock(
-                        f, stride=stride, dtype=self.dtype, norm=norm,
-                        name=f"layer{stage + 1}_block{block}")(x)
-                else:
-                    x = BottleneckBlock(
-                        f, stride=stride, dtype=self.dtype, norm=norm,
-                        # only the bandwidth-bound stages win: measured at the
-                        # 640px/bs16 flagship, fused vs XLA fwd+bwd per block is
-                        # 5.3 vs 7.3 ms (layer1) and 2.8 vs 3.6 (layer2), but
-                        # par on layer3 and a loss on layer4 (compute-bound) —
-                        # scripts/profile_bottleneck.py
-                        fused=fused and stage < 2,
-                        dot_1x1=self.dot_1x1,
-                        name=f"layer{stage + 1}_block{block}")(x)
+        for stage in range(max(0, self.remat_early - 1)):
+            x = self._stage(x, stage, train)
+            feats[stage + 2] = x
+        return x, feats
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Dict[int, Array]:
+        x = x.astype(self.dtype)
+        if self.remat_early > 0:
+            early = nn.remat(ResNet._early_segment, static_argnums=(2,))
+            x, feats = early(self, x, train)
+        else:
+            x, feats = self._early_segment(x, train)
+        for stage in range(max(0, self.remat_early - 1),
+                           len(self.stage_sizes)):
+            x = self._stage(x, stage, train)
             feats[stage + 2] = x  # C2..C5 at strides 4,8,16,32
         return feats
 

@@ -148,15 +148,63 @@ def fit(
     # step's compute (SURVEY.md §7). Values pass through unchanged, so
     # seek/resume determinism is untouched. Multi-host feeds per-process
     # shards through global_batch_from_local instead.
-    if cfg.data.device_prefetch and jax.process_count() == 1:
-        from detjax.data.pipeline import device_prefetch
+    # "auto" (default): don't trust either assumption — time one real
+    # batch's device_put against one compiled step during the first few
+    # iterations and enable prefetch only where the transfer can actually
+    # hide under compute (pipeline.prefetch_is_profitable; through this
+    # box's axon tunnel prefetch measured 0.24× serial, on real TPU hosts
+    # the transfer rides the DMA engine — VERDICT r3 #4).
+    dp = cfg.data.device_prefetch
+    sharding = None
+    if mesh is not None:
         from detjax.parallel.mesh import NamedSharding, P
 
-        sharding = NamedSharding(mesh, P("data")) if mesh is not None else None
-        it = device_prefetch(it, size=1, sharding=sharding)
+        sharding = NamedSharding(mesh, P("data"))
+    calibrate_until = -1
+    if jax.process_count() == 1:
+        from detjax.data.pipeline import device_prefetch
+
+        if dp == "auto":
+            # steps [start, start+2]: unprefetched, instrumented; the
+            # decision applies from start+3 on. Runs too short for the
+            # calibration to pay off stay serial (the safe default).
+            calibrate_until = start + 2 if num_steps - start > 4 else -1
+        elif dp:
+            it = device_prefetch(it, size=1, sharding=sharding)
+    cal_transfer, cal_step = float("inf"), float("inf")
     for i in range(start, num_steps):
         batch = next(it)
-        state, metrics = step_fn(state, batch)
+        if start <= i <= calibrate_until:
+            # calibration step: timed put + timed step, each forced via a
+            # host fetch (np.asarray — the only reliable sync through the
+            # axon tunnel). Step i==start also pays the compile; only the
+            # later iterations' timings count.
+            import time as _time
+
+            target = sharding if sharding is not None else jax.devices()[0]
+            t0 = _time.perf_counter()
+            batch = {k: jax.device_put(v, target) for k, v in batch.items()}
+            np.asarray(batch["images"][0, 0, 0])  # force the transfer
+            t1 = _time.perf_counter()
+            state, metrics = step_fn(state, batch)
+            float(np.asarray(metrics["loss"]))  # force the step
+            t2 = _time.perf_counter()
+            if i > start:  # skip the compile iteration
+                cal_transfer = min(cal_transfer, t1 - t0)
+                cal_step = min(cal_step, t2 - t1)
+            if i == calibrate_until:
+                from detjax.data.pipeline import (device_prefetch,
+                                                  prefetch_is_profitable)
+
+                on = prefetch_is_profitable(cal_transfer, cal_step)
+                print(f"[fit] device_prefetch auto: transfer "
+                      f"{cal_transfer * 1e3:.1f} ms vs step "
+                      f"{cal_step * 1e3:.1f} ms -> "
+                      f"{'ON' if on else 'OFF (transfer cannot hide)'}")
+                if on:
+                    it = device_prefetch(it, size=1, sharding=sharding)
+        else:
+            state, metrics = step_fn(state, batch)
         timer.tick(t.batch_size)
         if plateau is not None:  # else the window is never read
             pending.append(metrics["loss"])
