@@ -93,6 +93,16 @@ def global_batch_from_local(batch: Dict[str, Any], mesh: Mesh,
             for k, v in batch.items()}
 
 
+def _shardy_toggle():
+    """The jax config context that selects the partitioner, or None when
+    legacy GSPMD propagation is no longer toggleable (future jax)."""
+    try:
+        from jax._src.config import use_shardy_partitioner
+        return use_shardy_partitioner
+    except ImportError:
+        return None
+
+
 def _spatial_safe_partitioner(mesh: Mesh):
     """Partitioner context for compiles over ``mesh``.
 
@@ -109,14 +119,33 @@ def _spatial_safe_partitioner(mesh: Mesh):
     compiles use legacy GSPMD propagation, scoped via the config context
     (``include_in_jit_key=True`` → a separate, correctly-compiled jit
     cache entry; DP-only meshes keep the Shardy default).
+
+    UPGRADE PLAYBOOK (guarded by tests/test_parallel.py
+    ``test_shardy_spatial_canary``, VERDICT r3 #6):
+      * After a jax upgrade, run the canary. If it FAILS with "Shardy now
+        compiles ... correctly", delete this pin (return nullcontext for
+        every mesh), delete :func:`_shardy_toggle`, and retire the canary
+        — then re-verify ``test_spatial_partitioned_step_matches_single_
+        device`` and the driver dryrun's spatial phase.
+      * If jax ever REMOVES legacy GSPMD propagation while Shardy is
+        still broken, this function raises instead of silently
+        miscompiling — spatial meshes become unavailable until the Shardy
+        fix; DP-only meshes are unaffected.
     """
     if "space" not in mesh.axis_names:
         return contextlib.nullcontext
-    try:
-        from jax._src.config import use_shardy_partitioner
-        return lambda: use_shardy_partitioner(False)
-    except ImportError:  # private API moved: fail safe, keep default
-        return contextlib.nullcontext
+    toggle = _shardy_toggle()
+    if toggle is None:
+        raise RuntimeError(
+            "spatial (data, space) meshes need legacy GSPMD sharding "
+            "propagation, but this jax no longer exposes "
+            "use_shardy_partitioner. Shardy miscompiles the spatial train "
+            "step (see _spatial_safe_partitioner docstring / xla "
+            "b/433785288); refusing to compile a silently-wrong program. "
+            "Run tests/test_parallel.py::test_shardy_spatial_canary — if "
+            "Shardy is fixed in this jax, remove the pin per the upgrade "
+            "playbook; otherwise use a 1-D data mesh.")
+    return lambda: toggle(False)
 
 
 def parallel_train_state(state: TrainState, mesh: Mesh) -> TrainState:

@@ -155,6 +155,97 @@ def test_spatial_partitioned_step_matches_single_device():
     assert jax.tree.leaves(s8.params)[0].sharding.is_fully_replicated
 
 
+def _spatial_cfg_and_batch():
+    """The DP×SP workload shared by the spatial test and the Shardy
+    canary (same config → shared compile-cache artifacts)."""
+    bs = 4
+    cfg = get_config("coco_v5e8", **{
+        "model.image_size": (128, 128), "model.num_classes": 8,
+        "model.backbone_depth": 18,
+        "train.batch_size": bs, "train.max_gt": 4,
+    })
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.normal(0, 1, (bs, 128, 128, 3)),
+                              jnp.float32),
+        "gt_boxes": jnp.tile(jnp.asarray(
+            [[[8, 8, 40, 40], [30, 30, 100, 100], [0, 0, 0, 0],
+              [0, 0, 0, 0]]], jnp.float32), (bs, 1, 1)),
+        "gt_labels": jnp.tile(jnp.asarray([[2, 5, -1, -1]], jnp.int32),
+                              (bs, 1)),
+    }
+    return cfg, batch
+
+
+def test_shardy_spatial_canary():
+    """Version-gated canary for the GSPMD pin (VERDICT r3 #6).
+
+    Spatial-mesh train compiles are pinned to legacy GSPMD propagation
+    because JAX 0.9.0's Shardy miscompiles them (parallel/mesh.py
+    ``_spatial_safe_partitioner`` — the bias-grad degenerate-sharding
+    repro preserved there). This test re-runs the SAME spatial train step
+    with Shardy forced ON:
+
+    - Shardy produces the correct loss → the pin is OBSOLETE: fail loud
+      with removal instructions (the upgrade playbook in mesh.py).
+    - Shardy still miscompiles (wrong loss) or crashes → pass: the pin
+      is still earning its keep.
+    """
+    from detjax.parallel.mesh import _shardy_toggle
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    toggle = _shardy_toggle()
+    if toggle is None:
+        pytest.skip("jax no longer exposes use_shardy_partitioner; the "
+                    "fail-loud leg is covered by "
+                    "test_spatial_refuses_without_gspmd")
+
+    cfg, batch = _spatial_cfg_and_batch()
+    s1 = make_train_state(cfg, jax.random.PRNGKey(0))
+    _, m1 = make_train_step(cfg)(s1, batch)
+    loss_ref = float(m1["loss"])
+
+    mesh = make_mesh(spatial=2)
+    s8 = jax.device_put(make_train_state(cfg, jax.random.PRNGKey(0)),
+                        NamedSharding(mesh, P()))
+    batch_sh = shard_batch(batch, mesh)
+    try:
+        with toggle(True):
+            _, m_sh = make_train_step(cfg)(s8, batch_sh)
+        loss_shardy = float(m_sh["loss"])
+        shardy_correct = (np.isfinite(loss_shardy)
+                          and abs(loss_shardy - loss_ref)
+                          <= 0.02 * max(abs(loss_ref), 1e-6))
+    except Exception as e:  # a crash is also "still broken"
+        loss_shardy = None
+        shardy_correct = False
+        print(f"Shardy spatial compile raised: {e!r}")
+    if shardy_correct:
+        pytest.fail(
+            f"Shardy now compiles the DP×SP spatial train step CORRECTLY "
+            f"(loss {loss_shardy:.4f} == reference {loss_ref:.4f}). The "
+            "GSPMD pin is obsolete: follow the upgrade playbook in "
+            "detjax/parallel/mesh.py _spatial_safe_partitioner (remove "
+            "the pin, retire this canary, re-verify the spatial test and "
+            "driver dryrun).")
+    print(f"Shardy spatial still miscompiles (loss {loss_shardy} vs "
+          f"reference {loss_ref:.4f}) — GSPMD pin still required")
+
+
+def test_spatial_refuses_without_gspmd(monkeypatch):
+    """When legacy GSPMD propagation disappears from jax, the spatial
+    path must REFUSE loudly instead of compiling a silently-wrong program
+    (VERDICT r3 #6)."""
+    from detjax.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_shardy_toggle", lambda: None)
+    mesh = make_mesh(spatial=2)
+    with pytest.raises(RuntimeError, match="GSPMD"):
+        make_parallel_train_step(_cfg(8), mesh)
+    # 1-D data meshes are unaffected by the pin
+    make_parallel_train_step(_cfg(8), make_mesh())
+
+
 def test_spatial_shard_batch_layout():
     """shard_batch on a 2-D mesh: images sharded (data, space) — each
     device holds a [bs/4, H/2, W, C] tile — GT sharded on data only."""
