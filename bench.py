@@ -11,6 +11,15 @@ reference mount empty, ``published: {}``). The north star is ≥4× A100-
 PyTorch images/sec/chip; we use a documented ASSUMED A100 baseline of
 75 train-img/s (lineage RetinaNet-R50 @640, AMP, bs16 — see BASELINE.md),
 so vs_baseline = value / (4 × 75): ≥1.0 means the north-star target is met.
+
+The metric as WRITTEN (BASELINE.json) is "images/sec/chip … (train +
+infer)", so the line also reports the north-star COMPOSITE: the geometric
+mean of the train and infer attainment ratios, each against its own
+assumed 4×A100 bar. The infer-side A100 assumption is 110 img/s — a
+deliberately GENEROUS ceiling for the reference's eval branch, whose
+per-class Python NMS loop + per-image CPU sync (SURVEY.md §3.2) holds the
+real lineage well below that. Derivation + sensitivity: BASELINE.md
+"North-star composite".
 """
 
 from __future__ import annotations
@@ -20,6 +29,7 @@ import sys
 import time
 
 ASSUMED_A100_TRAIN_IMG_S = 75.0
+ASSUMED_A100_INFER_IMG_S = 110.0
 NORTH_STAR_MULT = 4.0
 
 
@@ -169,14 +179,25 @@ def main():
 
     n_chips = 1  # single-chip benchmark box
     value = train_img_s / n_chips
+    # North-star composite, per the metric as written ("train + infer"):
+    # geomean of per-phase attainment vs each phase's assumed 4×A100 bar
+    # (infer bar 110 img/s is deliberately generous to the reference —
+    # BASELINE.md "North-star composite" derives + stress-tests both).
+    train_ratio = value / (ASSUMED_A100_TRAIN_IMG_S * NORTH_STAR_MULT)
+    infer_ratio = (infer_img_s / n_chips) / (
+        ASSUMED_A100_INFER_IMG_S * NORTH_STAR_MULT)
+    composite = (train_ratio * infer_ratio) ** 0.5
     result = {
         "metric": "train images/sec/chip, RetinaNet-R50 640px (bs=16, "
                   "matching+focal+smoothL1+adam); infer images/sec/chip "
                   f"(bs=8, fused decode+NMS) = {infer_img_s:.1f}"
-                  f"{int8_detail}",
+                  f"{int8_detail}; north-star composite geomean("
+                  f"train/{ASSUMED_A100_TRAIN_IMG_S * NORTH_STAR_MULT:.0f}, "
+                  f"infer/{ASSUMED_A100_INFER_IMG_S * NORTH_STAR_MULT:.0f}) "
+                  f"= {composite:.3f} (infer alone {infer_ratio:.3f})",
         "value": round(value, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(value / (ASSUMED_A100_TRAIN_IMG_S * NORTH_STAR_MULT), 3),
+        "vs_baseline": round(train_ratio, 3),
     }
     print(json.dumps(result))
 

@@ -277,6 +277,71 @@ def import_full_detector(
     return params, batch_stats, report
 
 
+def _get(tree, path: Tuple[str, ...], leaf: str) -> np.ndarray:
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node[leaf])
+
+
+def export_full_detector(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    depth: int = 50,
+    stage_sizes: Optional[Tuple[int, ...]] = None,
+    block: Optional[str] = None,
+    num_head_convs: int = 4,
+    min_level: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_full_detector`: detjax params/batch_stats →
+    a lineage/torchvision-format numpy state_dict (conv kernels HWIO→OIHW,
+    BN scale/bias/mean/var → weight/bias/running_mean/running_var).
+
+    Two uses: (1) a user migrating OFF the reference can round-trip weights
+    both ways; (2) the torch reference-replica parity harness
+    (tests/torch_ref/eval_branch.py) runs detjax-TRAINED weights through a
+    faithful torch rebuild of the reference's eval branch and loss loop
+    (SURVEY.md §3.1/§3.2), so the two stacks can be diffed end to end on
+    this box (VERDICT r3 next-1). Round-trip identity is pinned in
+    tests/test_torch_e2e.py.
+    """
+    import jax
+    from flax import core as flax_core
+
+    if stage_sizes is None or block is None:
+        from detjax.models.resnet import RESNET_SPECS
+
+        spec_block, spec_sizes = RESNET_SPECS[depth]
+        stage_sizes = stage_sizes if stage_sizes is not None else spec_sizes
+        block = block if block is not None else spec_block
+
+    params = jax.tree.map(
+        np.asarray, jax.device_get(flax_core.unfreeze(params)))
+    batch_stats = jax.tree.map(
+        np.asarray, jax.device_get(flax_core.unfreeze(batch_stats)))
+
+    sd: Dict[str, np.ndarray] = {}
+    p_bb = params["backbone"]
+    s_bb = batch_stats["backbone"]
+    for tkey, fpath in _torch_resnet_key_map(stage_sizes, block=block).items():
+        if "bn" in fpath[-1] or fpath[-1].endswith("_bn"):
+            sd[f"{tkey}.weight"] = _get(p_bb, fpath, "scale")
+            sd[f"{tkey}.bias"] = _get(p_bb, fpath, "bias")
+            sd[f"{tkey}.running_mean"] = _get(s_bb, fpath, "mean")
+            sd[f"{tkey}.running_var"] = _get(s_bb, fpath, "var")
+        else:
+            w = _get(p_bb, fpath, "kernel")  # HWIO
+            sd[f"{tkey}.weight"] = np.ascontiguousarray(
+                np.transpose(w, (3, 2, 0, 1)))
+    for tkey, fpath in _fpn_head_key_map(
+            num_head_convs=num_head_convs, min_level=min_level).items():
+        w = _get(params, fpath, "kernel")
+        sd[f"{tkey}.weight"] = np.ascontiguousarray(
+            np.transpose(w, (3, 2, 0, 1)))
+        sd[f"{tkey}.bias"] = _get(params, fpath, "bias")
+    return sd
+
+
 def import_into_variables(variables: Mapping[str, Any],
                           state_dict: Mapping[str, np.ndarray],
                           depth: int = 50, **kw) -> dict:

@@ -318,22 +318,262 @@ def gate_hard_export():
     print("HARD-EXPORT GATE PASSED")
 
 
+def gate_r101_multiscale():
+    """Flagship-depth accuracy gate for benchmark config 4 (VERDICT r3
+    #8): the R101 preset TRAINS multi-scale — two canvas resolutions
+    cycled through per-resolution precompiled steps sharing one
+    TrainState (train/multiscale.py), fused on-device augmentation live
+    (uint8 batches, normalize+hflip inside the jit step) — and AP is
+    asserted at BOTH eval resolutions."""
+    import dataclasses
+
+    from detjax.train import make_train_state
+    from detjax.train.multiscale import (MultiScaleIterator,
+                                         make_multiscale_train_step)
+
+    cfg = get_config("retinanet_r101_fpn", **{
+        "model.num_classes": 12,
+        "model.frozen_backbone_bn": False,
+        "train.batch_size": 8,
+        "train.max_gt": 8,
+        "train.learning_rate": 1e-3,
+        "train.lr_schedule": "constant",
+        "data.hflip_prob": 0.5,  # on-device augmentation live in the step
+        "data.random_crop": False,
+        "eval.batch_size": 8,
+    })
+    assert cfg.model.backbone_depth == 101
+    scales = ((512, 512), (640, 640))
+    ds = SyntheticDetectionDataset(
+        num_images=12, image_size=(640, 640), num_classes=12,
+        max_objects=4, seed=13, size_range=(0.08, 0.4))
+
+    state = make_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_multiscale_train_step(cfg, scales)
+    it = iter(MultiScaleIterator(ds, cfg, scales, seed=0))
+    steps = 2500
+    import time
+
+    t0 = time.time()
+    for i in range(steps):
+        state, m = step(state, next(it))
+        if (i + 1) % 500 == 0 or i + 1 == steps:
+            print(f"  step {i + 1}/{steps} loss "
+                  f"{float(np.asarray(m['loss'])):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    for hw in scales:  # the model must hold up at BOTH eval resolutions
+        cfg_e = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, image_size=hw))
+        ev = run_coco_eval(variables, ds, cfg_e)
+        print(f"r101-multiscale eval @{hw[0]}:",
+              {k: round(ev.stats[k], 4)
+               for k in ("AP", "AP50", "AP75", "APs")})
+        assert ev.stats["AP50"] > 0.5, (hw, ev.stats)
+    print("R101-MULTISCALE GATE PASSED")
+
+
+def gate_torchref():
+    """End-to-end torch reference-replica parity at FLAGSHIP shape
+    (VERDICT r3 #1): the trained hard-gate model (R50, 640 px, 80
+    classes) runs through BOTH stacks — detjax's fused on-chip detect and
+    a faithful torch rebuild of the reference's eval branch
+    (tests/torch_ref/eval_branch.py: decode → clip → score>0.05 →
+    per-class Python NMS loop → rescale) — plus both loss
+    implementations (vectorized vs per-image Python loop), and a
+    two-stack COCO mAP comparison under the reference's min-608/max-1024
+    eval protocol. Weights cross stacks via export_full_detector
+    (round-trip identity pinned in tests/test_torch_e2e.py)."""
+    import dataclasses
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import jax.numpy as jnp
+
+    from detjax.data.pipeline import make_eval_iterator
+    from detjax.data.transforms import pad_annotations
+    from detjax.evaluation.coco_map import COCOMetric
+    from detjax.evaluation.evaluator import _gt_provider
+    from detjax.modeling import detect_u8
+    from detjax.models.detector import build_detector
+    from detjax.modeling import anchor_config
+    from detjax.ops.anchors import anchors_for_shape
+    from detjax.ops.losses import detection_loss
+    from detjax.utils.torch_import import export_full_detector
+    from tests.torch_ref.eval_branch import (
+        detector_forward_t, eval_branch_t, loss_loop_t, normalize_t,
+        postprocess_t)
+
+    cfg, ds, variables = _hard_trained("torchref")
+    stages = (3, 4, 6, 3)
+    k = cfg.model.num_classes
+    sd = export_full_detector(variables["params"], variables["batch_stats"],
+                              depth=cfg.model.backbone_depth)
+
+    # ---- (a) flagship-shape detect differential: identical 640 canvases,
+    # fp32 on both stacks (bit-comparability), bf16 production cross-check
+    fp32_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="float32"))
+    batch = next(iter(make_eval_iterator(ds, cfg)))
+    canvases = np.asarray(batch["images"])[:3]
+    assert canvases.dtype == np.uint8
+    det = detect_u8(variables, canvases, fp32_cfg)
+    det16 = detect_u8(variables, canvases, cfg)
+
+    t0 = time.time()
+    x_nchw = normalize_t(canvases, cfg.data.mean, cfg.data.std)
+    t_cls, t_reg = detector_forward_t(sd, x_nchw, stages, k)
+    print(f"torch replica forward ×{len(canvases)} @640: "
+          f"{time.time() - t0:.1f}s")
+
+    max_sd, max_bd, total, swaps = 0.0, 0.0, 0, 0
+    for i in range(len(canvases)):
+        tb, ts, tl = postprocess_t(
+            t_cls[i], t_reg[i], cfg.model.image_size,
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            max_detections=cfg.eval.max_detections)
+        nv = int(np.asarray(det.num_valid)[i])
+        assert abs(nv - len(ts)) <= 1, (
+            f"image {i}: detjax {nv} vs torch {len(ts)} detections")
+        n = min(nv, len(ts))
+        jb = np.asarray(det.boxes)[i, :n]
+        js = np.asarray(det.scores)[i, :n]
+        jl = np.asarray(det.labels)[i, :n]
+        to = np.lexsort((tl[:n], -ts[:n]))
+        jo = np.lexsort((jl, -js))
+        np.testing.assert_allclose(js[jo], ts[to], atol=5e-3, rtol=1e-3)
+        max_sd = max(max_sd, float(np.abs(js[jo] - ts[to]).max()))
+        # untied rows must carry the same label and box
+        tss = ts[to]
+        gap = (np.abs(np.diff(tss, prepend=np.inf)) > 1e-4) & \
+              (np.abs(np.diff(tss, append=-np.inf)) > 1e-4)
+        mism = (jl[jo] != tl[to]) | ~np.all(
+            np.isclose(jb[jo], tb[to], atol=1.0), axis=1)
+        assert not np.any(mism & gap), f"image {i}: untied row mismatch"
+        swaps += int(np.sum(mism & ~gap))
+        if np.any(gap):
+            max_bd = max(max_bd, float(
+                np.abs(jb[jo][gap] - tb[to][gap]).max()))
+        total += n
+        # bf16 production path: the CONFIDENT detections (score > 0.5 —
+        # well away from junk near the 0.05 floor) must agree as a
+        # multiset: same labels, scores within bf16 drift. Rank-aligned
+        # comparison would be tie-flaky where bf16 reorders near-equal
+        # scores.
+        conf = ts[to] > 0.5
+        kc = int(conf.sum())
+        if kc:
+            s16 = np.asarray(det16.scores)[i]
+            l16 = np.asarray(det16.labels)[i]
+            np.testing.assert_allclose(
+                np.sort(s16[:kc])[::-1], np.sort(ts[to][conf])[::-1],
+                atol=0.03)
+            assert sorted(l16[:kc].tolist()) == sorted(
+                tl[to][conf].tolist()), (i, l16[:kc], tl[to][conf])
+    print(f"detect differential: {total} detections, max |Δscore| "
+          f"{max_sd:.2e}, max |Δbox| {max_bd:.3f} px, {swaps} tie swaps "
+          f"(fp32 both stacks); bf16 top-10 verified")
+
+    # ---- (c) training-loss differential: vectorized vs per-image loop
+    nb = 8
+    imgs, gtb, gtl = [], [], []
+    for i in range(nb):
+        rec = ds[i]
+        b, l = pad_annotations(rec["boxes"], rec["labels"],
+                               cfg.train.max_gt)
+        imgs.append(rec["image"])
+        gtb.append(b)
+        gtl.append(l)
+    imgs_u8 = np.stack(imgs)
+    gtb = np.stack(gtb)
+    gtl = np.stack(gtl)
+    x = normalize_t(imgs_u8, cfg.data.mean, cfg.data.std)  # NCHW fp32
+    x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+
+    module = build_detector(fp32_cfg.model)
+    cls, reg = module.apply(variables, jnp.asarray(x_nhwc), train=False)
+    anchors = jnp.asarray(
+        anchors_for_shape(cfg.model.image_size, anchor_config(cfg)))
+    out = detection_loss(
+        cls, reg, anchors, jnp.asarray(gtb), jnp.asarray(gtl),
+        fg_iou_threshold=cfg.train.fg_iou_threshold,
+        bg_iou_threshold=cfg.train.bg_iou_threshold,
+        alpha=cfg.train.focal_alpha, gamma=cfg.train.focal_gamma,
+        beta=cfg.train.smooth_l1_beta, box_std=cfg.model.box_std)
+    t0 = time.time()
+    t_cl, t_rl = loss_loop_t(
+        sd, x_nhwc, gtb, gtl, stages, k,
+        fg=cfg.train.fg_iou_threshold, bg=cfg.train.bg_iou_threshold,
+        alpha=cfg.train.focal_alpha, gamma=cfg.train.focal_gamma,
+        beta=cfg.train.smooth_l1_beta)
+    j_cl, j_rl = float(out.cls_loss), float(out.reg_loss)
+    print(f"loss differential (bs={nb} @640, torch loop {time.time() - t0:.0f}s): "
+          f"cls {j_cl:.6f} vs {t_cl:.6f}, reg {j_rl:.6f} vs {t_rl:.6f}")
+    assert abs(j_cl - t_cl) <= max(2e-3 * abs(t_cl), 2e-5), (j_cl, t_cl)
+    assert abs(j_rl - t_rl) <= max(2e-3 * abs(t_rl), 2e-5), (j_rl, t_rl)
+
+    # ---- (b) two-stack COCO mAP under the reference eval protocol
+    proto_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data,
+                                      eval_scale_minmax=(608, 1024)))
+    ev_jax = run_coco_eval(variables, ds, proto_cfg)
+
+    gt_of = _gt_provider(ds)
+    metric = COCOMetric(category_ids=list(range(k)))
+    t0 = time.time()
+    for i in range(len(ds)):
+        rec = ds[i]
+        tb, ts, tl = eval_branch_t(
+            sd, rec["image"], stages, k,
+            mean=cfg.data.mean, std=cfg.data.std,
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            max_detections=cfg.eval.max_detections)
+        metric.add(rec["image_id"], gt_of(rec["image_id"]), tb, ts, tl)
+        print(f"  torch stack {i + 1}/{len(ds)} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    ev_torch = metric.compute()
+
+    print(f"{'stat':>6} {'detjax':>8} {'torchref':>9} {'delta':>8}")
+    worst = 0.0
+    for key in ev_jax.stats:
+        d = ev_jax.stats[key] - ev_torch.stats[key]
+        worst = max(worst, abs(d))
+        print(f"{key:>6} {ev_jax.stats[key]:8.4f} {ev_torch.stats[key]:9.4f} "
+              f"{d:+8.4f}")
+    assert worst <= 0.002, (
+        f"two-stack mAP parity FAILED: worst |Δ| {worst:.4f} > 0.002 "
+        "(the north star's ±0.2 mAP points)")
+    print(f"two-stack mAP parity: worst |Δ| {worst:.4f} <= 0.002 "
+          "on all 12 stats")
+    print("TORCHREF GATE PASSED")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", default="all",
                     choices=("quick", "hard", "ssd", "int8", "export",
                              "hard-int8", "hard-export", "hard-all",
-                             "all"))
+                             "torchref", "r101-multiscale", "all"))
     args = ap.parse_args()
     gates = {"quick": [gate_quick], "hard": [gate_hard],
              "ssd": [gate_ssd], "int8": [gate_int8],
              "export": [gate_export],
              "hard-int8": [gate_hard_int8],
              "hard-export": [gate_hard_export],
-             # the three flagship-scale gates share ONE trained model
-             "hard-all": [gate_hard, gate_hard_int8, gate_hard_export],
+             "torchref": [gate_torchref],
+             "r101-multiscale": [gate_r101_multiscale],
+             # the flagship-scale gates share ONE trained model
+             "hard-all": [gate_hard, gate_hard_int8, gate_hard_export,
+                          gate_torchref],
              "all": [gate_quick, gate_hard, gate_ssd, gate_int8,
-                     gate_export, gate_hard_int8, gate_hard_export]
+                     gate_export, gate_hard_int8, gate_hard_export,
+                     gate_torchref, gate_r101_multiscale]
              }[args.gate]
     for g in gates:
         g()

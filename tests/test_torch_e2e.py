@@ -1,0 +1,218 @@
+"""End-to-end torch reference-replica differentials (VERDICT r3 #1).
+
+tests/torch_ref/eval_branch.py rebuilds the reference's WHOLE eval branch
+(variable-size Resizer → forward → decode → clip → per-class Python NMS →
+rescale, SURVEY.md §3.2) and training loss loop (per-image matching loop,
+§3.1) in plain torch. These tests diff detjax's production paths against
+that replica end to end on shared weights — the same weights flow both
+ways through `export_full_detector` / `import_detector_into_variables`,
+whose round-trip identity is pinned first.
+
+The flagship-shape (640 px, R50, trained model) version of the same
+differential plus the two-stack mAP comparison runs on the real chip in
+`scripts/e2e_gate.py --gate torchref`; these CPU tests keep the harness
+itself honest at a tiny shape on every suite run.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detjax.config import get_config
+from detjax.modeling import anchor_config, build_model, detect_u8
+from detjax.ops.anchors import anchors_for_shape
+from detjax.utils.torch_import import (
+    export_full_detector,
+    import_detector_into_variables,
+)
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_ref.eval_branch import (  # noqa: E402
+    anchors_t,
+    detector_forward_t,
+    eval_branch_t,
+    loss_loop_t,
+    nms_t,
+    resize_protocol_t,
+)
+
+# Tiny-but-complete detector: real preset topology (R18 backbone, FPN
+# P3–P7, shared towers) at 96 px / 8 classes, fp32 for tight diffing.
+_OVR = {
+    "model.backbone_depth": 18,
+    "model.image_size": (96, 96),
+    "model.num_classes": 8,
+    "model.fpn_channels": 32,
+    "model.head_channels": 32,
+    "model.dtype": "float32",
+    "eval.pre_nms_top_k": 1746 * 8,  # keep every pair above threshold
+    "eval.batch_size": 2,
+}
+_STAGES = (2, 2, 2, 2)
+
+
+def _cfg():
+    return get_config("retinanet_r50_640", **_OVR)
+
+
+def _model_and_sd(rng):
+    """detjax-initialized tiny detector + the SAME weights as a lineage
+    state_dict, with the head outputs perturbed so a realistic sparse set
+    of scores clears the 0.05 floor (prior-prob init alone clears none)."""
+    cfg = _cfg()
+    _, variables = build_model(cfg, jax.random.PRNGKey(1))
+    sd = export_full_detector(variables["params"], variables["batch_stats"],
+                              depth=18)
+    sd = dict(sd)
+    sd["classificationModel.output.weight"] = (
+        sd["classificationModel.output.weight"]
+        + rng.normal(0, 0.08, sd["classificationModel.output.weight"].shape)
+    ).astype(np.float32)
+    sd["classificationModel.output.bias"] = (
+        sd["classificationModel.output.bias"]
+        + rng.normal(0, 1.2, sd["classificationModel.output.bias"].shape)
+    ).astype(np.float32)
+    sd["regressionModel.output.weight"] = (
+        sd["regressionModel.output.weight"] * 3.0).astype(np.float32)
+    variables = import_detector_into_variables(variables, sd, depth=18)
+    return cfg, variables, sd
+
+
+def test_anchors_match_detjax():
+    for hw in ((96, 96), (640, 640), (608, 832)):
+        ours = anchors_for_shape(hw, anchor_config(_cfg()))
+        ref = anchors_t(hw).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=0)
+
+
+def test_export_import_roundtrip(rng):
+    cfg = _cfg()
+    _, variables = build_model(cfg, jax.random.PRNGKey(2))
+    sd = export_full_detector(variables["params"], variables["batch_stats"],
+                              depth=18)
+    # fresh init → import the exported sd → trees bit-identical
+    _, fresh = build_model(cfg, jax.random.PRNGKey(3))
+    back = import_detector_into_variables(fresh, sd, depth=18)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables["params"], back["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables["batch_stats"], back["batch_stats"])
+
+
+def test_nms_t_matches_np_reference(rng):
+    from tests.np_ref import nms_np
+
+    boxes = rng.uniform(0, 90, (64, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 40, (64, 2)).astype(
+        np.float32)
+    scores = rng.uniform(0, 1, 64).astype(np.float32)
+    keep_t = nms_t(torch.from_numpy(boxes), torch.from_numpy(scores),
+                   0.5).numpy()
+    keep_np = nms_np(boxes, scores, 0.5)
+    np.testing.assert_array_equal(keep_t, np.asarray(keep_np))
+
+
+def test_resize_protocol_golden():
+    from detjax.data.transforms import protocol_scale
+
+    img = np.zeros((480, 640, 3), np.uint8)
+    canvas, scale = resize_protocol_t(img)
+    assert scale == pytest.approx(608 / 480)
+    assert scale == pytest.approx(protocol_scale(480, 640))
+    assert canvas.shape == (608, 832, 3)  # 811 wide → stride-32 pad
+
+    big = np.zeros((1024, 2048, 3), np.uint8)
+    canvas, scale = resize_protocol_t(big)
+    assert scale == pytest.approx(0.5)
+    assert canvas.shape == (512, 1024, 3)
+
+
+def test_eval_branch_matches_detjax_detect(rng):
+    """Full eval branch vs detjax's fused detect on identical pixels and
+    weights: same detections, scores, boxes, labels (fp32, tie-aware)."""
+    cfg, variables, sd = _model_and_sd(rng)
+    canvas = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+
+    tb, ts, tl = eval_branch_t(
+        sd, canvas, _STAGES, cfg.model.num_classes, block="basic",
+        mean=cfg.data.mean, std=cfg.data.std,
+        score_threshold=cfg.eval.score_threshold,
+        iou_threshold=cfg.eval.nms_iou_threshold,
+        max_detections=cfg.eval.max_detections,
+        canvas_scale=1.0)
+    assert len(ts) > 3, "workload produced too few detections to be a test"
+
+    det = detect_u8(variables, canvas[None], cfg)
+    nv = int(np.asarray(det.num_valid)[0])
+    jb = np.asarray(det.boxes)[0, :nv]
+    js = np.asarray(det.scores)[0, :nv]
+    jl = np.asarray(det.labels)[0, :nv]
+
+    assert nv == len(ts), (nv, len(ts))
+    # sort both by (-score, label) to neutralize cross-stack tie order
+    to = np.lexsort((tl, -ts))
+    jo = np.lexsort((jl, -js))
+    np.testing.assert_allclose(js[jo], ts[to], atol=2e-5, rtol=1e-5)
+    gap_prev = np.abs(np.diff(ts[to], prepend=np.inf))
+    gap_next = np.abs(np.diff(ts[to], append=-np.inf))
+    untied = (gap_prev > 1e-6) & (gap_next > 1e-6)
+    np.testing.assert_array_equal(jl[jo][untied], tl[to][untied])
+    np.testing.assert_allclose(jb[jo][untied], tb[to][untied],
+                               atol=5e-3, rtol=1e-4)
+
+
+def test_loss_loop_matches_detjax(rng):
+    """The reference's per-image loss loop vs detjax's vectorized
+    detection_loss on identical weights and batch: same scalars."""
+    from detjax.models.detector import build_detector
+    from detjax.ops.losses import detection_loss
+
+    cfg, variables, sd = _model_and_sd(rng)
+    b, g = 2, 5
+    images = rng.normal(0, 1, (b, 96, 96, 3)).astype(np.float32)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_labels = -np.ones((b, g), np.int32)
+    for i in range(b):
+        n = int(rng.integers(1, g))
+        x0 = rng.uniform(0, 60, n)
+        y0 = rng.uniform(0, 60, n)
+        gt_boxes[i, :n] = np.stack(
+            [x0, y0, x0 + rng.uniform(8, 35, n), y0 + rng.uniform(8, 35, n)],
+            axis=1)
+        gt_labels[i, :n] = rng.integers(0, cfg.model.num_classes, n)
+
+    module = build_detector(cfg.model)
+    cls, reg = module.apply(variables, jnp.asarray(images), train=False)
+    anchors = jnp.asarray(anchors_for_shape((96, 96), anchor_config(cfg)))
+    out = detection_loss(cls, reg, anchors, jnp.asarray(gt_boxes),
+                         jnp.asarray(gt_labels))
+
+    t_cls, t_reg = loss_loop_t(sd, images, gt_boxes, gt_labels, _STAGES,
+                               cfg.model.num_classes, block="basic")
+    assert float(out.cls_loss) == pytest.approx(t_cls, rel=2e-3, abs=1e-5)
+    assert float(out.reg_loss) == pytest.approx(t_reg, rel=2e-3, abs=1e-5)
+
+
+def test_forward_replica_matches_detjax_logits(rng):
+    """Raw head outputs agree at fp32 — localizes any eval-branch diff to
+    the postprocess rather than the forward."""
+    from detjax.models.detector import build_detector
+
+    cfg, variables, sd = _model_and_sd(rng)
+    x = rng.normal(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    module = build_detector(cfg.model)
+    cls, reg = module.apply(variables, jnp.asarray(x), train=False)
+    t_cls, t_reg = detector_forward_t(
+        sd, np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))),
+        _STAGES, cfg.model.num_classes, block="basic")
+    np.testing.assert_allclose(np.asarray(cls), t_cls.numpy(),
+                               atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(reg), t_reg.numpy(),
+                               atol=5e-4, rtol=5e-4)
