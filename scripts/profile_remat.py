@@ -97,10 +97,12 @@ def main():
                 print(f"  f8 variant {v}: loss drift vs baseline "
                       f"{l - ref:+.6f}")
             else:
-                # remat recomputes the same ops on the same inputs — the
-                # loss must be BIT-identical to the unrematerialized step
-                assert l == ref, (v, l, ref)
-        print("numerics: remat variants bit-identical to baseline")
+                # remat recomputes the same ops on the same inputs: bit-
+                # identical under XLA:CPU (tests pin this), but on TPU the
+                # changed fusion boundaries move bf16 rounding points —
+                # measured ~8e-6 relative drift. Assert closeness.
+                assert abs(l - ref) <= 1e-4 * abs(ref), (v, l, ref)
+        print("numerics: remat variants match baseline (<=1e-4 relative)")
     if results:
         best_v = min(results, key=lambda v: results[v][0])
         print(f"\nbest: remat_early={best_v} at {results[best_v][1]:.1f} "
