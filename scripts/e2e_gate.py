@@ -108,10 +108,39 @@ def _hard_trained(name: str):
     synthetic data, seeded init, fixed steps), so hard/hard-int8/
     hard-export would each retrain the IDENTICAL model — ~2500 steps of
     640px/bs8 chip time apiece. The AP50 assert runs on the first train;
-    reuses are labeled."""
+    reuses are labeled.
+
+    DETJAX_GATE_CACHE=<dir> additionally persists the trained variables
+    across PROCESSES (msgpack via flax.serialization): iterating on a
+    gate's verification section then costs seconds, not the 2500-step
+    train. Sound because the workload is deterministic — the cached
+    model is byte-for-byte the one a retrain would produce. Off by
+    default; the AP50 assert only runs on a real train."""
+    import os
+
     cfg, ds = _hard_setup()
     if "v" not in _HARD_TRAINED:
-        _HARD_TRAINED["v"] = _run(cfg, ds, 2500, name, 0.5)
+        cache_dir = os.environ.get("DETJAX_GATE_CACHE")
+        path = (os.path.join(cache_dir, "hard_trained.msgpack")
+                if cache_dir else None)
+        if path and os.path.exists(path):
+            import flax.serialization as fser
+
+            from detjax.modeling import build_model
+
+            _, target = build_model(cfg)
+            with open(path, "rb") as f:
+                _HARD_TRAINED["v"] = fser.from_bytes(target, f.read())
+            print(f"{name}: loaded the trained hard-gate model from {path}")
+        else:
+            _HARD_TRAINED["v"] = _run(cfg, ds, 2500, name, 0.5)
+            if path:
+                import flax.serialization as fser
+
+                os.makedirs(cache_dir, exist_ok=True)
+                with open(path, "wb") as f:
+                    f.write(fser.to_bytes(_HARD_TRAINED["v"]))
+                print(f"{name}: cached the trained model to {path}")
     else:
         print(f"{name}: reusing the trained hard-gate model "
               f"(deterministic workload)")
@@ -421,7 +450,13 @@ def gate_torchref():
     batch = next(iter(make_eval_iterator(ds, cfg)))
     canvases = np.asarray(batch["images"])[:3]
     assert canvases.dtype == np.uint8
-    det = detect_u8(variables, canvases, fp32_cfg)
+    # "fp32" convs on TPU default to bf16 MXU passes (XLA's DEFAULT
+    # precision) — ~1e-3 relative logit drift vs torch's true-fp32 CPU
+    # convs, enough to reorder near-tie detections. The bit-comparability
+    # leg forces genuine fp32 accumulation (bf16x6 passes) on-chip; the
+    # production-precision leg (det16) stays outside the context.
+    with jax.default_matmul_precision("highest"):
+        det = detect_u8(variables, canvases, fp32_cfg)
     det16 = detect_u8(variables, canvases, cfg)
 
     t0 = time.time()
@@ -447,11 +482,18 @@ def gate_torchref():
         to = np.lexsort((tl[:n], -ts[:n]))
         jo = np.lexsort((jl, -js))
         np.testing.assert_allclose(js[jo], ts[to], atol=5e-3, rtol=1e-3)
-        max_sd = max(max_sd, float(np.abs(js[jo] - ts[to]).max()))
-        # untied rows must carry the same label and box
+        drift = float(np.abs(js[jo] - ts[to]).max())
+        max_sd = max(max_sd, drift)
+        # Untied rows must carry the same label and box. "Untied" is
+        # drift-coupled: two adjacent scores closer than 4× the measured
+        # cross-stack score drift of THIS image can legitimately order
+        # differently in the two stacks — that's a tie swap, not a
+        # mismatch. With true-fp32 matmuls on both sides drift is ~1e-6
+        # and the floor (1e-4) governs, keeping the assert strong.
         tss = ts[to]
-        gap = (np.abs(np.diff(tss, prepend=np.inf)) > 1e-4) & \
-              (np.abs(np.diff(tss, append=-np.inf)) > 1e-4)
+        gap_t = max(1e-4, 4.0 * drift)
+        gap = (np.abs(np.diff(tss, prepend=np.inf)) > gap_t) & \
+              (np.abs(np.diff(tss, append=-np.inf)) > gap_t)
         mism = (jl[jo] != tl[to]) | ~np.all(
             np.isclose(jb[jo], tb[to], atol=1.0), axis=1)
         assert not np.any(mism & gap), f"image {i}: untied row mismatch"
