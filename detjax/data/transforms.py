@@ -51,7 +51,10 @@ def letterbox(
 
     The resize runs through the in-repo C++ bilinear kernel
     (detjax.native — the data loader's native substrate, SURVEY.md §2a)
-    when the toolchain is available, else PIL.
+    when the toolchain is available, else PIL. The two paths are
+    BIT-IDENTICAL (the C++ kernel implements Pillow's antialiased
+    triangle resample per bit — pinned in tests/test_native.py), so the
+    pipeline output does not depend on which substrate built it.
     """
     th, tw = target_hw
     h, w = image.shape[:2]

@@ -179,7 +179,8 @@ def match_image(ious: np.ndarray, gt_ig: np.ndarray, g_crowd: np.ndarray,
 
 
 def resize_bilinear(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
-    """uint8 [H,W,C] → [dh,dw,C] bilinear (half-pixel centers)."""
+    """uint8 [H,W,C] → [dh,dw,C], bit-identical to PIL Image.BILINEAR
+    (antialiased triangle filter, Pillow 8bpc fixed-point arithmetic)."""
     lib = _get()
     assert lib is not None
     src = np.ascontiguousarray(src, np.uint8)

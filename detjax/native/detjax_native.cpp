@@ -81,43 +81,113 @@ void detjax_match_image(const double* ious, const uint8_t* gt_ig,
   }
 }
 
-// Bilinear resize for uint8 HWC images (half-pixel centers, no antialias).
-// Native replacement for the data loader's PIL resize hot path.
+// Bilinear resize for uint8 HWC images — BIT-IDENTICAL to PIL's
+// Image.resize(..., Image.BILINEAR): the separable triangle filter with
+// antialiasing on downscale (filter support scales with 1/scale), Pillow's
+// fixed-point 8bpc arithmetic (PRECISION_BITS=22, round-half-away coeff
+// quantization, clip8 with pre-added rounding bias), horizontal pass first
+// with the intermediate quantized to uint8 — exactly Pillow Resample.c.
+// Native replacement for the data loader's PIL resize hot path; parity is
+// pinned per-bit in tests/test_native.py (up/downscale, random images).
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow PRECISION_BITS
+
+inline uint8_t clip8(int v) {
+  if (v >= (1 << (kPrecisionBits + 8))) return 255;
+  if (v <= 0) return 0;
+  return static_cast<uint8_t>(v >> kPrecisionBits);
+}
+
+inline double triangle_filter(double x) {
+  if (x < 0.0) x = -x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// Pillow precompute_coeffs + normalize_coeffs_8bpc for one axis.
+// Returns ksize; fills bounds ([out*2]: xmin, count) and int coeffs
+// ([out*ksize], fixed-point 2^22).
+int64_t precompute_coeffs(int64_t in_size, int64_t out_size,
+                          std::vector<int64_t>& bounds,
+                          std::vector<int32_t>& kk_int) {
+  const double scale = static_cast<double>(in_size) /
+                       static_cast<double>(out_size);
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // triangle support = 1.0
+  const int64_t ksize = static_cast<int64_t>(std::ceil(support)) * 2 + 1;
+  bounds.assign(static_cast<size_t>(out_size * 2), 0);
+  std::vector<double> k(static_cast<size_t>(ksize));
+  kk_int.assign(static_cast<size_t>(out_size * ksize), 0);
+  const double ss = 1.0 / filterscale;
+  for (int64_t xx = 0; xx < out_size; ++xx) {
+    const double center = (static_cast<double>(xx) + 0.5) * scale;
+    int64_t xmin = static_cast<int64_t>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int64_t xmax = static_cast<int64_t>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double ww = 0.0;
+    for (int64_t x = 0; x < xmax; ++x) {
+      const double w = triangle_filter(
+          (static_cast<double>(x + xmin) - center + 0.5) * ss);
+      k[static_cast<size_t>(x)] = w;
+      ww += w;
+    }
+    for (int64_t x = 0; x < xmax; ++x) {
+      if (ww != 0.0) k[static_cast<size_t>(x)] /= ww;
+      const double w = k[static_cast<size_t>(x)];
+      // Pillow: round half away from zero into 2^22 fixed point
+      kk_int[static_cast<size_t>(xx * ksize + x)] = static_cast<int32_t>(
+          w < 0 ? -0.5 + w * (1 << kPrecisionBits)
+                : 0.5 + w * (1 << kPrecisionBits));
+    }
+    bounds[static_cast<size_t>(xx * 2 + 0)] = xmin;
+    bounds[static_cast<size_t>(xx * 2 + 1)] = xmax;
+  }
+  return ksize;
+}
+
+}  // namespace
+
 void detjax_resize_bilinear_u8(const uint8_t* src, int64_t sh, int64_t sw,
                                int64_t c, uint8_t* dst, int64_t dh,
                                int64_t dw) {
-  const double ry = static_cast<double>(sh) / static_cast<double>(dh);
-  const double rx = static_cast<double>(sw) / static_cast<double>(dw);
-  std::vector<int64_t> x0s(static_cast<size_t>(dw)), x1s(static_cast<size_t>(dw));
-  std::vector<double> wxs(static_cast<size_t>(dw));
-  for (int64_t x = 0; x < dw; ++x) {
-    double fx = (static_cast<double>(x) + 0.5) * rx - 0.5;
-    fx = std::max(fx, 0.0);
-    int64_t x0 = static_cast<int64_t>(fx);
-    x0 = std::min(x0, sw - 1);
-    x0s[static_cast<size_t>(x)] = x0;
-    x1s[static_cast<size_t>(x)] = std::min(x0 + 1, sw - 1);
-    wxs[static_cast<size_t>(x)] = fx - static_cast<double>(x0);
+  // Horizontal pass: [sh, sw, c] -> temp [sh, dw, c] (quantized uint8,
+  // exactly Pillow's intermediate image), then vertical -> [dh, dw, c].
+  std::vector<int64_t> hb, vb;
+  std::vector<int32_t> hk, vk;
+  const int64_t hks = precompute_coeffs(sw, dw, hb, hk);
+  const int64_t vks = precompute_coeffs(sh, dh, vb, vk);
+
+  std::vector<uint8_t> tmp(static_cast<size_t>(sh * dw * c));
+  const int kInit = 1 << (kPrecisionBits - 1);  // rounding bias
+  for (int64_t y = 0; y < sh; ++y) {
+    const uint8_t* in_row = src + y * sw * c;
+    uint8_t* out_row = tmp.data() + y * dw * c;
+    for (int64_t xx = 0; xx < dw; ++xx) {
+      const int64_t xmin = hb[static_cast<size_t>(xx * 2 + 0)];
+      const int64_t xmax = hb[static_cast<size_t>(xx * 2 + 1)];
+      const int32_t* k = hk.data() + xx * hks;
+      for (int64_t b = 0; b < c; ++b) {
+        int ss = kInit;
+        for (int64_t x = 0; x < xmax; ++x)
+          ss += in_row[(x + xmin) * c + b] * k[x];
+        out_row[xx * c + b] = clip8(ss);
+      }
+    }
   }
-  for (int64_t y = 0; y < dh; ++y) {
-    double fy = (static_cast<double>(y) + 0.5) * ry - 0.5;
-    fy = std::max(fy, 0.0);
-    int64_t y0 = static_cast<int64_t>(fy);
-    y0 = std::min(y0, sh - 1);
-    const int64_t y1 = std::min(y0 + 1, sh - 1);
-    const double wy = fy - static_cast<double>(y0);
-    const uint8_t* row0 = src + y0 * sw * c;
-    const uint8_t* row1 = src + y1 * sw * c;
-    uint8_t* out_row = dst + y * dw * c;
-    for (int64_t x = 0; x < dw; ++x) {
-      const int64_t x0 = x0s[static_cast<size_t>(x)] * c;
-      const int64_t x1 = x1s[static_cast<size_t>(x)] * c;
-      const double wx = wxs[static_cast<size_t>(x)];
-      for (int64_t k = 0; k < c; ++k) {
-        const double top = row0[x0 + k] * (1.0 - wx) + row0[x1 + k] * wx;
-        const double bot = row1[x0 + k] * (1.0 - wx) + row1[x1 + k] * wx;
-        const double v = top * (1.0 - wy) + bot * wy;
-        out_row[x * c + k] = static_cast<uint8_t>(v + 0.5);
+  for (int64_t yy = 0; yy < dh; ++yy) {
+    const int64_t ymin = vb[static_cast<size_t>(yy * 2 + 0)];
+    const int64_t ymax = vb[static_cast<size_t>(yy * 2 + 1)];
+    const int32_t* k = vk.data() + yy * vks;
+    uint8_t* out_row = dst + yy * dw * c;
+    for (int64_t xx = 0; xx < dw; ++xx) {
+      for (int64_t b = 0; b < c; ++b) {
+        int ss = kInit;
+        for (int64_t y = 0; y < ymax; ++y)
+          ss += tmp[static_cast<size_t>((y + ymin) * dw * c + xx * c + b)] *
+                k[y];
+        out_row[xx * c + b] = clip8(ss);
       }
     }
   }

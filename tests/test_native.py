@@ -78,21 +78,31 @@ def test_native_full_map_equals_numpy(rng, monkeypatch):
         assert got.stats[k] == pytest.approx(v, abs=1e-12), k
 
 
-def test_native_resize_reasonable(rng):
-    img = rng.integers(0, 255, (64, 48, 3)).astype(np.uint8)
-    out = native.resize_bilinear(img, 128, 96)
-    assert out.shape == (128, 96, 3)
-    # corners map near source corners under half-pixel-center bilinear
-    assert abs(int(out[0, 0, 0]) - int(img[0, 0, 0])) <= 1
-    # constant image stays constant
-    flat = np.full((33, 17, 3), 77, np.uint8)
-    np.testing.assert_array_equal(native.resize_bilinear(flat, 50, 41), 77)
-    # PIL comparison (no antialias on upscale): close on smooth data
+def test_native_resize_bit_identical_to_pil(rng):
+    """The native resize IS Pillow's BILINEAR resample, per bit — the
+    separable triangle filter with antialiased downscale and Pillow's
+    8bpc fixed-point arithmetic. Bit-identity means a dataset pipelined
+    through the native loader and one through PIL produce byte-equal
+    canvases (the torchref two-stack mAP gate depends on this: its torch
+    replica resizes with PIL, detjax with the native kernel)."""
     from PIL import Image
 
-    smooth = np.tile(np.linspace(0, 255, 48, dtype=np.uint8)[None, :, None],
-                     (64, 1, 3))
-    want = np.asarray(Image.fromarray(smooth).resize((96, 128),
-                                                     Image.BILINEAR))
-    got = native.resize_bilinear(smooth, 128, 96)
-    assert np.mean(np.abs(got.astype(int) - want.astype(int))) < 2.0
+    out = native.resize_bilinear(
+        rng.integers(0, 255, (64, 48, 3)).astype(np.uint8), 128, 96)
+    assert out.shape == (128, 96, 3)
+    # constant image stays constant (coeffs normalize to 1)
+    flat = np.full((33, 17, 3), 77, np.uint8)
+    np.testing.assert_array_equal(native.resize_bilinear(flat, 50, 41), 77)
+    # bit-identity sweep: downscale / upscale / mixed / identity-adjacent,
+    # 1- and 3-channel, including the eval-protocol 640->608 shape
+    cases = [((640, 640, 3), 608, 608), ((64, 48, 3), 128, 96),
+             ((128, 96, 3), 64, 48), ((100, 30, 1), 31, 99),
+             ((5, 200, 3), 200, 5), ((97, 97, 3), 96, 98)]
+    for (h, w, c), dh, dw in cases:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        pil_src = Image.fromarray(img[..., 0] if c == 1 else img)
+        want = np.asarray(pil_src.resize((dw, dh), Image.BILINEAR))
+        if c == 1:
+            want = want[..., None]
+        got = native.resize_bilinear(img, dh, dw)
+        np.testing.assert_array_equal(got, want, err_msg=f"{(h, w, c)}->{(dh, dw)}")
