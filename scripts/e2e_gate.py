@@ -563,19 +563,31 @@ def gate_torchref():
     # BOTH stacks resize their own raw images independently: the torch
     # replica with PIL's protocol Resizer (eval_branch.resize_protocol_t),
     # detjax with its production pipeline (native C++ resize — bit-
-    # identical to PIL, pinned in tests/test_native.py). Every synthetic
-    # source is 640x640, so the min-608/max-1024 rule yields a 608x608
-    # canvas for each; pinning detjax's static canvas to 608 makes its
-    # fixed-canvas geometry coincide with the reference's variable-canvas
-    # geometry for this val set (exactly how a production deployment
-    # picks its canvas for a known protocol — zero pad ring, identical
-    # conv border environment). Two detjax legs:
+    # identical to PIL, pinned in tests/test_native.py). TWO val regimes:
+    #   * the 16 train-set images (AP ~0.81) — agreement on confident,
+    #     well-separated detections;
+    #   * a HELD-OUT set of 64 fresh images from the same distribution
+    #     (seed 77 vs the train set's 7; AP ~0.02, the overfit gate model
+    #     barely generalizes) — agreement on a sea of near-threshold
+    #     detections, where score ties / boundary effects are maximally
+    #     likely to diverge. Exactness across BOTH score distributions is
+    #     the strongest on-box form of the parity claim.
+    # Every synthetic source is 640x640, so the min-608/max-1024 rule
+    # yields a 608x608 canvas for each; pinning detjax's static canvas to
+    # 608 makes its fixed-canvas geometry coincide with the reference's
+    # variable-canvas geometry for this val set (exactly how a production
+    # deployment picks its canvas for a known protocol — zero pad ring,
+    # identical conv border environment). Two detjax legs per regime:
     #   * fp32 + highest-precision matmuls — the parity-of-the-math claim
     #     (the reference stack is fp32 CUDA/CPU): |Δ| <= 0.002 hard.
     #   * production bf16 — the as-deployed number, asserted at a
     #     documented looser bound: bf16 MXU box regression drifts boxes
     #     ~0.1 px, which flips matches only at the IoU 0.90:0.95 COCOeval
     #     thresholds (measured: AP50/AP75 EXACT, worst stat 0.0032).
+    ds_val = SyntheticDetectionDataset(
+        num_images=64, image_size=(640, 640), num_classes=80,
+        max_objects=8, seed=77, size_range=(1.0 / 32.0, 1.0 / 3.0),
+        crowd_prob=0.15)
     proto_cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, image_size=(608, 608)),
@@ -584,44 +596,49 @@ def gate_torchref():
     fp32_proto = dataclasses.replace(
         proto_cfg, model=dataclasses.replace(proto_cfg.model,
                                              dtype="float32"))
-    with jax.default_matmul_precision("highest"):
-        ev_jax = run_coco_eval(variables, ds, fp32_proto)
-    ev_jax16 = run_coco_eval(variables, ds, proto_cfg)
+    for ds_map, regime in ((ds, "train-set 16 img"),
+                           (ds_val, "held-out 64 img")):
+        with jax.default_matmul_precision("highest"):
+            ev_jax = run_coco_eval(variables, ds_map, fp32_proto)
+        ev_jax16 = run_coco_eval(variables, ds_map, proto_cfg)
 
-    gt_of = _gt_provider(ds)
-    metric = COCOMetric(category_ids=list(range(k)))
-    t0 = time.time()
-    for i in range(len(ds)):
-        rec = ds[i]
-        tb, ts, tl = eval_branch_t(
-            sd, rec["image"], stages, k,
-            mean=cfg.data.mean, std=cfg.data.std,
-            score_threshold=cfg.eval.score_threshold,
-            iou_threshold=cfg.eval.nms_iou_threshold,
-            max_detections=cfg.eval.max_detections)
-        metric.add(rec["image_id"], gt_of(rec["image_id"]), tb, ts, tl)
-        print(f"  torch stack {i + 1}/{len(ds)} "
-              f"({time.time() - t0:.0f}s)", flush=True)
-    ev_torch = metric.compute()
+        gt_of = _gt_provider(ds_map)
+        metric = COCOMetric(category_ids=list(range(k)))
+        t0 = time.time()
+        for i in range(len(ds_map)):
+            rec = ds_map[i]
+            tb, ts, tl = eval_branch_t(
+                sd, rec["image"], stages, k,
+                mean=cfg.data.mean, std=cfg.data.std,
+                score_threshold=cfg.eval.score_threshold,
+                iou_threshold=cfg.eval.nms_iou_threshold,
+                max_detections=cfg.eval.max_detections)
+            metric.add(rec["image_id"], gt_of(rec["image_id"]), tb, ts, tl)
+            print(f"  torch stack [{regime}] {i + 1}/{len(ds_map)} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        ev_torch = metric.compute()
 
-    print(f"{'stat':>6} {'detjax':>8} {'det-bf16':>9} {'torchref':>9} "
-          f"{'delta':>8} {'d-bf16':>8}")
-    worst, worst16 = 0.0, 0.0
-    for key in ev_jax.stats:
-        d = ev_jax.stats[key] - ev_torch.stats[key]
-        d16 = ev_jax16.stats[key] - ev_torch.stats[key]
-        worst = max(worst, abs(d))
-        worst16 = max(worst16, abs(d16))
-        print(f"{key:>6} {ev_jax.stats[key]:8.4f} {ev_jax16.stats[key]:9.4f} "
-              f"{ev_torch.stats[key]:9.4f} {d:+8.4f} {d16:+8.4f}")
-    assert worst <= 0.002, (
-        f"two-stack mAP parity FAILED: worst |Δ| {worst:.4f} > 0.002 "
-        "(the north star's ±0.2 mAP points)")
-    assert worst16 <= 0.01, (
-        f"production-bf16 mAP drift {worst16:.4f} > 0.01 — bf16 box drift "
-        "should only flip IoU>=0.9 matches (expected ~0.003)")
-    print(f"two-stack mAP parity: worst |Δ| {worst:.4f} <= 0.002 on all "
-          f"12 stats (production bf16: {worst16:.4f} <= 0.01)")
+        print(f"[{regime}]")
+        print(f"{'stat':>6} {'detjax':>8} {'det-bf16':>9} {'torchref':>9} "
+              f"{'delta':>8} {'d-bf16':>8}")
+        worst, worst16 = 0.0, 0.0
+        for key in ev_jax.stats:
+            d = ev_jax.stats[key] - ev_torch.stats[key]
+            d16 = ev_jax16.stats[key] - ev_torch.stats[key]
+            worst = max(worst, abs(d))
+            worst16 = max(worst16, abs(d16))
+            print(f"{key:>6} {ev_jax.stats[key]:8.4f} "
+                  f"{ev_jax16.stats[key]:9.4f} "
+                  f"{ev_torch.stats[key]:9.4f} {d:+8.4f} {d16:+8.4f}")
+        assert worst <= 0.002, (
+            f"two-stack mAP parity FAILED [{regime}]: worst |Δ| "
+            f"{worst:.4f} > 0.002 (the north star's ±0.2 mAP points)")
+        assert worst16 <= 0.01, (
+            f"production-bf16 mAP drift {worst16:.4f} > 0.01 [{regime}] — "
+            "bf16 box drift should only flip IoU>=0.9 matches")
+        print(f"two-stack mAP parity [{regime}]: worst |Δ| {worst:.4f} "
+              f"<= 0.002 on all 12 stats (production bf16: "
+              f"{worst16:.4f} <= 0.01)")
     print("TORCHREF GATE PASSED")
 
 
