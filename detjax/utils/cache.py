@@ -35,6 +35,37 @@ DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "detjax", "xla")
 
 
+def host_fingerprint() -> str:
+    """Short stable hash of THIS host's CPU feature set.
+
+    JAX's persistent-cache key covers jaxlib version, backend, and compile
+    options — but NOT the host CPU's feature flags, and XLA:CPU entries
+    are AOT machine code specialized to the compiling host's features
+    (avx512*, amx-*, …). Deserializing such an entry on a host without
+    those features is not a miss — it's a load of illegal instructions
+    (``cpu_aot_loader``: "could lead to execution errors such as SIGILL"),
+    observed as a hard SIGABRT mid-suite after this box migrated between
+    machines with different microarchitectures. Scoping every cache dir by
+    this fingerprint turns a host change into an empty cache instead of a
+    crash. (TPU entries are host-agnostic, so same-host restarts — the
+    case the cache exists for — are unaffected.)
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{feats}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(cache_dir: Optional[str] = None,
                          min_compile_secs: float = 0.0) -> str:
     """Point JAX's persistent compilation cache at ``cache_dir``.
@@ -54,6 +85,10 @@ def enable_compile_cache(cache_dir: Optional[str] = None,
 
     d = cache_dir or os.environ.get("DETJAX_COMPILE_CACHE") or DEFAULT_DIR
     d = os.path.abspath(os.path.expanduser(d))
+    # Host-scope the directory: foreign XLA:CPU AOT entries crash rather
+    # than miss (see host_fingerprint). Same host → same subdir, so the
+    # restart-skips-compile contract is unchanged.
+    d = os.path.join(d, f"host-{host_fingerprint()}")
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

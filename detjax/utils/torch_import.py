@@ -219,6 +219,36 @@ def _fpn_head_key_map(num_head_convs: int = 4,
     return m
 
 
+def _ssd_head_key_map(min_level: int = 3,
+                      max_level: int = 7) -> Dict[str, Tuple[str, ...]]:
+    """SSD-style head (benchmark config 2): one independent predictor
+    pair per pyramid level, no shared tower (detjax/models/heads.py
+    ``SSDHead``). Torch-side naming follows the lineage convention of a
+    named submodule per predictor; the reference mount is empty so the
+    exact reference names are unverifiable (SURVEY.md §2 #5 "unknown —
+    VERIFY") — this map defines detjax's canonical lineage-format layout
+    for the family, used by both directions of the weight bridge."""
+    m: Dict[str, Tuple[str, ...]] = {}
+    for lvl in range(min_level, max_level + 1):
+        m[f"ssdHead.cls_p{lvl}"] = ("head", f"cls_p{lvl}")
+        m[f"ssdHead.box_p{lvl}"] = ("head", f"box_p{lvl}")
+    return m
+
+
+def _head_key_map(family: str, num_head_convs: int, min_level: int,
+                  max_level: int) -> Dict[str, Tuple[str, ...]]:
+    """FPN + family-specific head key map (the non-backbone detector part)."""
+    fpn_and_head = _fpn_head_key_map(num_head_convs=num_head_convs,
+                                     min_level=min_level)
+    if family == "retinanet":
+        return fpn_and_head
+    if family == "ssd":
+        m = {k: v for k, v in fpn_and_head.items() if v[0] == "fpn"}
+        m.update(_ssd_head_key_map(min_level, max_level))
+        return m
+    raise ValueError(f"unknown model family {family!r}")
+
+
 def import_full_detector(
     params: Mapping[str, Any],
     batch_stats: Mapping[str, Any],
@@ -230,6 +260,8 @@ def import_full_detector(
     block: Optional[str] = None,
     num_head_convs: int = 4,
     min_level: int = 3,
+    max_level: int = 7,
+    family: str = "retinanet",
 ) -> Tuple[dict, dict, Dict[str, list]]:
     """Import a complete lineage detector checkpoint: backbone + FPN + heads.
 
@@ -251,8 +283,7 @@ def import_full_detector(
         params, batch_stats, sd, depth=depth, strict=strict,
         stage_sizes=stage_sizes, block=block)
 
-    key_map = _fpn_head_key_map(num_head_convs=num_head_convs,
-                                min_level=min_level)
+    key_map = _head_key_map(family, num_head_convs, min_level, max_level)
     imported, missing, used = (report["imported"], report["missing"],
                                set(report["imported"]))
     for tkey, fpath in key_map.items():
@@ -292,6 +323,8 @@ def export_full_detector(
     block: Optional[str] = None,
     num_head_convs: int = 4,
     min_level: int = 3,
+    max_level: int = 7,
+    family: str = "retinanet",
 ) -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_full_detector`: detjax params/batch_stats →
     a lineage/torchvision-format numpy state_dict (conv kernels HWIO→OIHW,
@@ -333,8 +366,8 @@ def export_full_detector(
             w = _get(p_bb, fpath, "kernel")  # HWIO
             sd[f"{tkey}.weight"] = np.ascontiguousarray(
                 np.transpose(w, (3, 2, 0, 1)))
-    for tkey, fpath in _fpn_head_key_map(
-            num_head_convs=num_head_convs, min_level=min_level).items():
+    for tkey, fpath in _head_key_map(
+            family, num_head_convs, min_level, max_level).items():
         w = _get(params, fpath, "kernel")
         sd[f"{tkey}.weight"] = np.ascontiguousarray(
             np.transpose(w, (3, 2, 0, 1)))

@@ -12,6 +12,13 @@ Gates (run on the real chip; --gate quick|hard|ssd|all):
           overfit @512px with SSD per-level anchors, assert AP50.
   int8  — PTQ engine AP matches the fp path on the trained model.
   export— the StableHLO serving artifact's AP matches the live path.
+  torchref / torchref-ssd — end-to-end torch reference-replica parity
+          (VERDICT r3 #1): detect differential (fp32 both stacks +
+          production-bf16 cross-check), per-image training-loss-loop
+          differential, and the two-stack COCO mAP diff in two regimes,
+          for the RetinaNet flagship (640) and the SSD-512 family.
+  r101-multiscale — config 4 flagship-depth accuracy gate (R101,
+          two-resolution multiscale train + eval).
 """
 import argparse
 
@@ -214,7 +221,8 @@ def gate_hard():
     print("HARD GATE PASSED")
 
 
-def gate_ssd():
+def _ssd_setup():
+    """The SSD-512 gate workload (benchmark config 2 at train scale)."""
     cfg = get_config("ssd_512", **{
         "model.num_classes": 12,
         "model.frozen_backbone_bn": False,
@@ -224,11 +232,54 @@ def gate_ssd():
         "train.lr_schedule": "constant",
         "data.hflip_prob": 0.0,
         "data.random_crop": False,
+        "eval.batch_size": 8,
     })
     ds = SyntheticDetectionDataset(num_images=8, image_size=(512, 512),
                                    num_classes=12, max_objects=3, seed=11,
                                    size_range=(0.15, 0.5))
-    _run(cfg, ds, 1500, "ssd", 0.5)
+    return cfg, ds
+
+
+_SSD_TRAINED = {}
+
+
+def _ssd_trained(name: str):
+    """Train the SSD gate model ONCE per process (deterministic workload);
+    DETJAX_GATE_CACHE persists it across processes — same mechanism and
+    soundness argument as _hard_trained."""
+    import os
+
+    cfg, ds = _ssd_setup()
+    if "v" not in _SSD_TRAINED:
+        cache_dir = os.environ.get("DETJAX_GATE_CACHE")
+        path = (os.path.join(cache_dir, "ssd_trained.msgpack")
+                if cache_dir else None)
+        if path and os.path.exists(path):
+            import flax.serialization as fser
+
+            from detjax.modeling import build_model
+
+            _, target = build_model(cfg)
+            with open(path, "rb") as f:
+                _SSD_TRAINED["v"] = fser.from_bytes(target, f.read())
+            print(f"{name}: loaded the trained ssd-gate model from {path}")
+        else:
+            _SSD_TRAINED["v"] = _run(cfg, ds, 1500, name, 0.5)
+            if path:
+                import flax.serialization as fser
+
+                os.makedirs(cache_dir, exist_ok=True)
+                with open(path, "wb") as f:
+                    f.write(fser.to_bytes(_SSD_TRAINED["v"]))
+                print(f"{name}: cached the trained model to {path}")
+    else:
+        print(f"{name}: reusing the trained ssd-gate model "
+              f"(deterministic workload)")
+    return cfg, ds, _SSD_TRAINED["v"]
+
+
+def gate_ssd():
+    _ssd_trained("ssd")
     print("SSD GATE PASSED")
 
 
@@ -403,75 +454,13 @@ def gate_r101_multiscale():
     print("R101-MULTISCALE GATE PASSED")
 
 
-def gate_torchref():
-    """End-to-end torch reference-replica parity at FLAGSHIP shape
-    (VERDICT r3 #1): the trained hard-gate model (R50, 640 px, 80
-    classes) runs through BOTH stacks — detjax's fused on-chip detect and
-    a faithful torch rebuild of the reference's eval branch
-    (tests/torch_ref/eval_branch.py: decode → clip → score>0.05 →
-    per-class Python NMS loop → rescale) — plus both loss
-    implementations (vectorized vs per-image Python loop), and a
-    two-stack COCO mAP comparison under the reference's min-608/max-1024
-    eval protocol. Weights cross stacks via export_full_detector
-    (round-trip identity pinned in tests/test_torch_e2e.py)."""
-    import dataclasses
-    import os
-    import sys
-    import time
-
-    sys.path.insert(0, os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
-    import jax.numpy as jnp
-
-    from detjax.data.pipeline import make_eval_iterator
-    from detjax.data.transforms import pad_annotations
-    from detjax.evaluation.coco_map import COCOMetric
-    from detjax.evaluation.evaluator import _gt_provider
-    from detjax.modeling import detect_u8
-    from detjax.models.detector import build_detector
-    from detjax.modeling import anchor_config
-    from detjax.ops.anchors import anchors_for_shape
-    from detjax.ops.losses import detection_loss
-    from detjax.utils.torch_import import export_full_detector
-    from tests.torch_ref.eval_branch import (
-        detector_forward_t, eval_branch_t, loss_loop_t, normalize_t,
-        postprocess_t)
-
-    cfg, ds, variables = _hard_trained("torchref")
-    stages = (3, 4, 6, 3)
-    k = cfg.model.num_classes
-    sd = export_full_detector(variables["params"], variables["batch_stats"],
-                              depth=cfg.model.backbone_depth)
-
-    # ---- (a) flagship-shape detect differential: identical 640 canvases,
-    # fp32 on both stacks (bit-comparability), bf16 production cross-check
-    fp32_cfg = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, dtype="float32"))
-    batch = next(iter(make_eval_iterator(ds, cfg)))
-    canvases = np.asarray(batch["images"])[:3]
-    assert canvases.dtype == np.uint8
-    # "fp32" convs on TPU default to bf16 MXU passes (XLA's DEFAULT
-    # precision) — ~1e-3 relative logit drift vs torch's true-fp32 CPU
-    # convs, enough to reorder near-tie detections. The bit-comparability
-    # leg forces genuine fp32 accumulation (bf16x6 passes) on-chip; the
-    # production-precision leg (det16) stays outside the context.
-    with jax.default_matmul_precision("highest"):
-        det = detect_u8(variables, canvases, fp32_cfg)
-    det16 = detect_u8(variables, canvases, cfg)
-
-    t0 = time.time()
-    x_nchw = normalize_t(canvases, cfg.data.mean, cfg.data.std)
-    t_cls, t_reg = detector_forward_t(sd, x_nchw, stages, k)
-    print(f"torch replica forward ×{len(canvases)} @640: "
-          f"{time.time() - t0:.1f}s")
-
+def _diff_detections(det, det16, t_dets):
+    """fp32 detect differential + bf16 production cross-check, shared by
+    gate_torchref / gate_torchref-ssd. ``det``/``det16``: detjax
+    Detections (fp32-highest / production bf16) on the same canvases;
+    ``t_dets``: the torch replica's [(boxes, scores, labels)] per image."""
     max_sd, max_bd, total, swaps = 0.0, 0.0, 0, 0
-    for i in range(len(canvases)):
-        tb, ts, tl = postprocess_t(
-            t_cls[i], t_reg[i], cfg.model.image_size,
-            score_threshold=cfg.eval.score_threshold,
-            iou_threshold=cfg.eval.nms_iou_threshold,
-            max_detections=cfg.eval.max_detections)
+    for i, (tb, ts, tl) in enumerate(t_dets):
         nv = int(np.asarray(det.num_valid)[i])
         assert abs(nv - len(ts)) <= 1, (
             f"image {i}: detjax {nv} vs torch {len(ts)} detections")
@@ -519,7 +508,125 @@ def gate_torchref():
                 tl[to][conf].tolist()), (i, l16[:kc], tl[to][conf])
     print(f"detect differential: {total} detections, max |Δscore| "
           f"{max_sd:.2e}, max |Δbox| {max_bd:.3f} px, {swaps} tie swaps "
-          f"(fp32 both stacks); bf16 top-10 verified")
+          f"(fp32 both stacks); bf16 confident detections verified")
+
+
+def _two_stack_map(variables, ds_map, regime, num_classes, fp32_proto,
+                   proto_cfg, torch_eval):
+    """Two-stack COCO mAP comparison for one val regime: detjax runs its
+    production pipeline (fp32-highest + production-bf16 legs), the torch
+    replica runs ``torch_eval(rec) -> (boxes, scores, labels)`` per raw
+    image; all 12 COCOeval stats are diffed and asserted."""
+    import time
+
+    from detjax.evaluation.coco_map import COCOMetric
+    from detjax.evaluation.evaluator import _gt_provider
+
+    with jax.default_matmul_precision("highest"):
+        ev_jax = run_coco_eval(variables, ds_map, fp32_proto)
+    ev_jax16 = run_coco_eval(variables, ds_map, proto_cfg)
+
+    gt_of = _gt_provider(ds_map)
+    metric = COCOMetric(category_ids=list(range(num_classes)))
+    t0 = time.time()
+    for i in range(len(ds_map)):
+        rec = ds_map[i]
+        tb, ts, tl = torch_eval(rec)
+        metric.add(rec["image_id"], gt_of(rec["image_id"]), tb, ts, tl)
+        print(f"  torch stack [{regime}] {i + 1}/{len(ds_map)} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    ev_torch = metric.compute()
+
+    print(f"[{regime}]")
+    print(f"{'stat':>6} {'detjax':>8} {'det-bf16':>9} {'torchref':>9} "
+          f"{'delta':>8} {'d-bf16':>8}")
+    worst, worst16 = 0.0, 0.0
+    for key in ev_jax.stats:
+        d = ev_jax.stats[key] - ev_torch.stats[key]
+        d16 = ev_jax16.stats[key] - ev_torch.stats[key]
+        worst = max(worst, abs(d))
+        worst16 = max(worst16, abs(d16))
+        print(f"{key:>6} {ev_jax.stats[key]:8.4f} "
+              f"{ev_jax16.stats[key]:9.4f} "
+              f"{ev_torch.stats[key]:9.4f} {d:+8.4f} {d16:+8.4f}")
+    assert worst <= 0.002, (
+        f"two-stack mAP parity FAILED [{regime}]: worst |Δ| "
+        f"{worst:.4f} > 0.002 (the north star's ±0.2 mAP points)")
+    assert worst16 <= 0.01, (
+        f"production-bf16 mAP drift {worst16:.4f} > 0.01 [{regime}] — "
+        "bf16 box drift should only flip IoU>=0.9 matches")
+    print(f"two-stack mAP parity [{regime}]: worst |Δ| {worst:.4f} "
+          f"<= 0.002 on all 12 stats (production bf16: "
+          f"{worst16:.4f} <= 0.01)")
+
+
+def gate_torchref():
+    """End-to-end torch reference-replica parity at FLAGSHIP shape
+    (VERDICT r3 #1): the trained hard-gate model (R50, 640 px, 80
+    classes) runs through BOTH stacks — detjax's fused on-chip detect and
+    a faithful torch rebuild of the reference's eval branch
+    (tests/torch_ref/eval_branch.py: decode → clip → score>0.05 →
+    per-class Python NMS loop → rescale) — plus both loss
+    implementations (vectorized vs per-image Python loop), and a
+    two-stack COCO mAP comparison under the reference's min-608/max-1024
+    eval protocol. Weights cross stacks via export_full_detector
+    (round-trip identity pinned in tests/test_torch_e2e.py)."""
+    import dataclasses
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import jax.numpy as jnp
+
+    from detjax.data.pipeline import make_eval_iterator
+    from detjax.data.transforms import pad_annotations
+    from detjax.modeling import detect_u8
+    from detjax.models.detector import build_detector
+    from detjax.modeling import anchor_config
+    from detjax.ops.anchors import anchors_for_shape
+    from detjax.ops.losses import detection_loss
+    from detjax.utils.torch_import import export_full_detector
+    from tests.torch_ref.eval_branch import (
+        detector_forward_t, eval_branch_t, loss_loop_t, normalize_t,
+        postprocess_t)
+
+    cfg, ds, variables = _hard_trained("torchref")
+    stages = (3, 4, 6, 3)
+    k = cfg.model.num_classes
+    sd = export_full_detector(variables["params"], variables["batch_stats"],
+                              depth=cfg.model.backbone_depth)
+
+    # ---- (a) flagship-shape detect differential: identical 640 canvases,
+    # fp32 on both stacks (bit-comparability), bf16 production cross-check
+    fp32_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="float32"))
+    batch = next(iter(make_eval_iterator(ds, cfg)))
+    canvases = np.asarray(batch["images"])[:3]
+    assert canvases.dtype == np.uint8
+    # "fp32" convs on TPU default to bf16 MXU passes (XLA's DEFAULT
+    # precision) — ~1e-3 relative logit drift vs torch's true-fp32 CPU
+    # convs, enough to reorder near-tie detections. The bit-comparability
+    # leg forces genuine fp32 accumulation (bf16x6 passes) on-chip; the
+    # production-precision leg (det16) stays outside the context.
+    with jax.default_matmul_precision("highest"):
+        det = detect_u8(variables, canvases, fp32_cfg)
+    det16 = detect_u8(variables, canvases, cfg)
+
+    t0 = time.time()
+    x_nchw = normalize_t(canvases, cfg.data.mean, cfg.data.std)
+    t_cls, t_reg = detector_forward_t(sd, x_nchw, stages, k)
+    print(f"torch replica forward ×{len(canvases)} @640: "
+          f"{time.time() - t0:.1f}s")
+
+    t_dets = [postprocess_t(
+        t_cls[i], t_reg[i], cfg.model.image_size,
+        score_threshold=cfg.eval.score_threshold,
+        iou_threshold=cfg.eval.nms_iou_threshold,
+        max_detections=cfg.eval.max_detections)
+        for i in range(len(canvases))]
+    _diff_detections(det, det16, t_dets)
 
     # ---- (c) training-loss differential: vectorized vs per-image loop
     nb = 8
@@ -596,50 +703,146 @@ def gate_torchref():
     fp32_proto = dataclasses.replace(
         proto_cfg, model=dataclasses.replace(proto_cfg.model,
                                              dtype="float32"))
+    def torch_eval(rec):
+        return eval_branch_t(
+            sd, rec["image"], stages, k,
+            mean=cfg.data.mean, std=cfg.data.std,
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            max_detections=cfg.eval.max_detections)
+
     for ds_map, regime in ((ds, "train-set 16 img"),
                            (ds_val, "held-out 64 img")):
-        with jax.default_matmul_precision("highest"):
-            ev_jax = run_coco_eval(variables, ds_map, fp32_proto)
-        ev_jax16 = run_coco_eval(variables, ds_map, proto_cfg)
-
-        gt_of = _gt_provider(ds_map)
-        metric = COCOMetric(category_ids=list(range(k)))
-        t0 = time.time()
-        for i in range(len(ds_map)):
-            rec = ds_map[i]
-            tb, ts, tl = eval_branch_t(
-                sd, rec["image"], stages, k,
-                mean=cfg.data.mean, std=cfg.data.std,
-                score_threshold=cfg.eval.score_threshold,
-                iou_threshold=cfg.eval.nms_iou_threshold,
-                max_detections=cfg.eval.max_detections)
-            metric.add(rec["image_id"], gt_of(rec["image_id"]), tb, ts, tl)
-            print(f"  torch stack [{regime}] {i + 1}/{len(ds_map)} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
-        ev_torch = metric.compute()
-
-        print(f"[{regime}]")
-        print(f"{'stat':>6} {'detjax':>8} {'det-bf16':>9} {'torchref':>9} "
-              f"{'delta':>8} {'d-bf16':>8}")
-        worst, worst16 = 0.0, 0.0
-        for key in ev_jax.stats:
-            d = ev_jax.stats[key] - ev_torch.stats[key]
-            d16 = ev_jax16.stats[key] - ev_torch.stats[key]
-            worst = max(worst, abs(d))
-            worst16 = max(worst16, abs(d16))
-            print(f"{key:>6} {ev_jax.stats[key]:8.4f} "
-                  f"{ev_jax16.stats[key]:9.4f} "
-                  f"{ev_torch.stats[key]:9.4f} {d:+8.4f} {d16:+8.4f}")
-        assert worst <= 0.002, (
-            f"two-stack mAP parity FAILED [{regime}]: worst |Δ| "
-            f"{worst:.4f} > 0.002 (the north star's ±0.2 mAP points)")
-        assert worst16 <= 0.01, (
-            f"production-bf16 mAP drift {worst16:.4f} > 0.01 [{regime}] — "
-            "bf16 box drift should only flip IoU>=0.9 matches")
-        print(f"two-stack mAP parity [{regime}]: worst |Δ| {worst:.4f} "
-              f"<= 0.002 on all 12 stats (production bf16: "
-              f"{worst16:.4f} <= 0.01)")
+        _two_stack_map(variables, ds_map, regime, k, fp32_proto, proto_cfg,
+                       torch_eval)
     print("TORCHREF GATE PASSED")
+
+
+def gate_torchref_ssd():
+    """The same end-to-end torch reference-replica parity for the SSD-512
+    family (benchmark config 2): per-level independent predictors + SSD
+    per-level absolute anchor sizes, at the preset's full 512 px. Detect
+    differential (fp32 both stacks + production bf16), per-image
+    training-loss-loop differential, and the two-stack COCO mAP in two
+    regimes (train-set / held-out). The SSD eval protocol is a fixed
+    512×512 canvas (the preset's deployment shape): sources are 512×512,
+    so BOTH stacks see identity-scale canvases and the geometries
+    coincide with zero pad ring — same reasoning as the RetinaNet gate's
+    608 pin."""
+    import dataclasses
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import jax.numpy as jnp
+
+    from detjax.data.pipeline import make_eval_iterator
+    from detjax.data.transforms import pad_annotations
+    from detjax.modeling import anchor_config, detect_u8
+    from detjax.models.detector import build_detector
+    from detjax.ops.anchors import anchors_for_shape
+    from detjax.ops.losses import detection_loss
+    from detjax.utils.torch_import import export_full_detector
+    from tests.torch_ref.eval_branch import (
+        detector_forward_t, eval_branch_t, loss_loop_t, normalize_t,
+        postprocess_t)
+
+    cfg, ds, variables = _ssd_trained("torchref-ssd")
+    stages = (3, 4, 6, 3)
+    k = cfg.model.num_classes
+    anchor_kw = {"ratios": cfg.model.anchor_ratios,
+                 "per_level_sizes": cfg.model.anchor_per_level_sizes}
+    sd = export_full_detector(variables["params"], variables["batch_stats"],
+                              depth=cfg.model.backbone_depth, family="ssd")
+
+    # ---- (a) detect differential at 512: identical canvases, fp32 both
+    # stacks, production-bf16 cross-check (see gate_torchref for the
+    # matmul-precision reasoning)
+    fp32_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="float32"))
+    batch = next(iter(make_eval_iterator(ds, cfg)))
+    canvases = np.asarray(batch["images"])[:3]
+    assert canvases.dtype == np.uint8
+    with jax.default_matmul_precision("highest"):
+        det = detect_u8(variables, canvases, fp32_cfg)
+    det16 = detect_u8(variables, canvases, cfg)
+
+    t0 = time.time()
+    x_nchw = normalize_t(canvases, cfg.data.mean, cfg.data.std)
+    t_cls, t_reg = detector_forward_t(sd, x_nchw, stages, k, family="ssd")
+    print(f"torch replica forward ×{len(canvases)} @512: "
+          f"{time.time() - t0:.1f}s")
+    t_dets = [postprocess_t(
+        t_cls[i], t_reg[i], cfg.model.image_size,
+        score_threshold=cfg.eval.score_threshold,
+        iou_threshold=cfg.eval.nms_iou_threshold,
+        max_detections=cfg.eval.max_detections, anchor_kw=anchor_kw)
+        for i in range(len(canvases))]
+    _diff_detections(det, det16, t_dets)
+
+    # ---- (c) training-loss differential: vectorized vs per-image loop
+    nb = 8
+    imgs, gtb, gtl = [], [], []
+    for i in range(nb):
+        rec = ds[i]
+        b, l = pad_annotations(rec["boxes"], rec["labels"],
+                               cfg.train.max_gt)
+        imgs.append(rec["image"])
+        gtb.append(b)
+        gtl.append(l)
+    x = normalize_t(np.stack(imgs), cfg.data.mean, cfg.data.std)
+    x_nhwc = np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
+    gtb, gtl = np.stack(gtb), np.stack(gtl)
+
+    module = build_detector(fp32_cfg.model)
+    cls, reg = module.apply(variables, jnp.asarray(x_nhwc), train=False)
+    anchors = jnp.asarray(
+        anchors_for_shape(cfg.model.image_size, anchor_config(cfg)))
+    out = detection_loss(
+        cls, reg, anchors, jnp.asarray(gtb), jnp.asarray(gtl),
+        fg_iou_threshold=cfg.train.fg_iou_threshold,
+        bg_iou_threshold=cfg.train.bg_iou_threshold,
+        alpha=cfg.train.focal_alpha, gamma=cfg.train.focal_gamma,
+        beta=cfg.train.smooth_l1_beta, box_std=cfg.model.box_std)
+    t0 = time.time()
+    t_cl, t_rl = loss_loop_t(
+        sd, x_nhwc, gtb, gtl, stages, k, family="ssd",
+        anchor_kw=anchor_kw,
+        fg=cfg.train.fg_iou_threshold, bg=cfg.train.bg_iou_threshold,
+        alpha=cfg.train.focal_alpha, gamma=cfg.train.focal_gamma,
+        beta=cfg.train.smooth_l1_beta)
+    j_cl, j_rl = float(out.cls_loss), float(out.reg_loss)
+    print(f"loss differential (bs={nb} @512, torch loop "
+          f"{time.time() - t0:.0f}s): "
+          f"cls {j_cl:.6f} vs {t_cl:.6f}, reg {j_rl:.6f} vs {t_rl:.6f}")
+    assert abs(j_cl - t_cl) <= max(2e-3 * abs(t_cl), 2e-5), (j_cl, t_cl)
+    assert abs(j_rl - t_rl) <= max(2e-3 * abs(t_rl), 2e-5), (j_rl, t_rl)
+
+    # ---- (b) two-stack COCO mAP: fixed-512 protocol, identity scale on
+    # both stacks (512 sources). Train-set (confident detections) +
+    # held-out (near-threshold regime) — same two-regime reasoning as the
+    # RetinaNet gate.
+    ds_val = SyntheticDetectionDataset(
+        num_images=24, image_size=(512, 512), num_classes=12,
+        max_objects=3, seed=99, size_range=(0.15, 0.5))
+    fp32_proto = fp32_cfg
+
+    def torch_eval(rec):
+        return eval_branch_t(
+            sd, rec["image"], stages, k, family="ssd",
+            mean=cfg.data.mean, std=cfg.data.std,
+            min_side=512, max_side=512,  # fixed-512 SSD protocol
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            max_detections=cfg.eval.max_detections, anchor_kw=anchor_kw)
+
+    for ds_map, regime in ((ds, "train-set 8 img"),
+                           (ds_val, "held-out 24 img")):
+        _two_stack_map(variables, ds_map, regime, k, fp32_proto, cfg,
+                       torch_eval)
+    print("TORCHREF-SSD GATE PASSED")
 
 
 if __name__ == "__main__":
@@ -647,7 +850,8 @@ if __name__ == "__main__":
     ap.add_argument("--gate", default="all",
                     choices=("quick", "hard", "ssd", "int8", "export",
                              "hard-int8", "hard-export", "hard-all",
-                             "torchref", "r101-multiscale", "all"))
+                             "torchref", "torchref-ssd", "r101-multiscale",
+                             "all"))
     args = ap.parse_args()
     gates = {"quick": [gate_quick], "hard": [gate_hard],
              "ssd": [gate_ssd], "int8": [gate_int8],
@@ -655,13 +859,15 @@ if __name__ == "__main__":
              "hard-int8": [gate_hard_int8],
              "hard-export": [gate_hard_export],
              "torchref": [gate_torchref],
+             "torchref-ssd": [gate_torchref_ssd],
              "r101-multiscale": [gate_r101_multiscale],
              # the flagship-scale gates share ONE trained model
              "hard-all": [gate_hard, gate_hard_int8, gate_hard_export,
                           gate_torchref],
              "all": [gate_quick, gate_hard, gate_ssd, gate_int8,
                      gate_export, gate_hard_int8, gate_hard_export,
-                     gate_torchref, gate_r101_multiscale]
+                     gate_torchref, gate_torchref_ssd,
+                     gate_r101_multiscale]
              }[args.gate]
     for g in gates:
         g()

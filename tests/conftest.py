@@ -24,7 +24,15 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: this box has ONE CPU core, so cold XLA
 # compiles of the R50 train step dominate test wall time. The cache makes
 # every re-run (and every new pytest process) hit compiled artifacts.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# Host-scoped (detjax.utils.cache.host_fingerprint): XLA:CPU entries are
+# AOT machine code for the COMPILING host's CPU features; after this box
+# migrated microarchitectures, loading the old entries SIGABRT'd the
+# suite mid-run (cpu_aot_loader feature-mismatch → SIGILL class). A new
+# host now simply starts a fresh cache subdir.
+from detjax.utils.cache import host_fingerprint  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_test_cache/host-{host_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -22,9 +22,11 @@ import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-from detjax.utils.cache import enable_compile_cache
+from detjax.utils.cache import enable_compile_cache, host_fingerprint
 d = enable_compile_cache(sys.argv[1])
-assert d == os.path.abspath(sys.argv[1]), d
+# host-scoped subdir: foreign XLA:CPU AOT entries crash, not miss
+assert d == os.path.join(os.path.abspath(sys.argv[1]),
+                         "host-" + host_fingerprint()), d
 import jax.numpy as jnp
 out = jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))
 print("RESULT", float(out))
@@ -76,6 +78,17 @@ def test_flag_plumbing_parses_without_touching_jax():
     assert apply_compile_cache_flag(args, default_on=True) is None
 
 
+def test_host_fingerprint_stable_and_feature_sensitive():
+    """The fingerprint is deterministic within a host and ties to the CPU
+    feature flags — the exact axis along which foreign XLA:CPU AOT cache
+    entries are unsafe (SIGILL class, not a cache miss)."""
+    from detjax.utils.cache import host_fingerprint
+
+    a, b = host_fingerprint(), host_fingerprint()
+    assert a == b and len(a) == 12
+    int(a, 16)  # hex
+
+
 def test_env_var_fallback(tmp_path, monkeypatch):
     # enable_compile_cache() with no dir honors DETJAX_COMPILE_CACHE; use a
     # child process so the session's jax config stays untouched.
@@ -84,9 +97,10 @@ import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-from detjax.utils.cache import enable_compile_cache
+from detjax.utils.cache import enable_compile_cache, host_fingerprint
 d = enable_compile_cache()
-assert d == os.environ["DETJAX_COMPILE_CACHE"], d
+assert d == os.path.join(os.environ["DETJAX_COMPILE_CACHE"],
+                         "host-" + host_fingerprint()), d
 assert jax.config.jax_compilation_cache_dir == d
 print("ENV OK")
 """

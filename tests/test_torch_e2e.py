@@ -216,3 +216,166 @@ def test_forward_replica_matches_detjax_logits(rng):
                                atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(reg), t_reg.numpy(),
                                atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# SSD-512 family (benchmark config 2): the same end-to-end differential for
+# the per-level-predictor head + SSD per-level absolute anchor sizes. The
+# flagship-shape version runs on the real chip in
+# `scripts/e2e_gate.py --gate torchref-ssd`.
+# ---------------------------------------------------------------------------
+
+def _ssd_cfg():
+    from detjax.config import _ssd_anchor_sizes
+
+    return get_config("ssd_512", **{
+        "model.backbone_depth": 18,
+        "model.image_size": (96, 96),
+        "model.num_classes": 8,
+        "model.fpn_channels": 32,
+        "model.dtype": "float32",
+        "model.anchor_per_level_sizes": _ssd_anchor_sizes(96, 5),
+        "eval.pre_nms_top_k": 1746 * 8,  # keep every pair above threshold
+        "eval.batch_size": 2,
+    })
+
+
+def _ssd_anchor_kw(cfg):
+    return {"ratios": cfg.model.anchor_ratios,
+            "per_level_sizes": cfg.model.anchor_per_level_sizes}
+
+
+def _ssd_model_and_sd(rng):
+    """Tiny SSD detector + its lineage state_dict, head outputs perturbed
+    so a sparse set of scores clears the 0.05 floor (same recipe as the
+    RetinaNet fixture above)."""
+    cfg = _ssd_cfg()
+    _, variables = build_model(cfg, jax.random.PRNGKey(1))
+    sd = dict(export_full_detector(
+        variables["params"], variables["batch_stats"], depth=18,
+        family="ssd"))
+    for lvl in range(3, 8):
+        for part, wscale, bscale in (("cls", 0.08, 1.2), ("box", 0.5, 0.1)):
+            k = f"ssdHead.{part}_p{lvl}"
+            sd[f"{k}.weight"] = (
+                sd[f"{k}.weight"]
+                + rng.normal(0, wscale, sd[f"{k}.weight"].shape)
+            ).astype(np.float32)
+            sd[f"{k}.bias"] = (
+                sd[f"{k}.bias"]
+                + rng.normal(0, bscale, sd[f"{k}.bias"].shape)
+            ).astype(np.float32)
+    variables = import_detector_into_variables(variables, sd, depth=18,
+                                               family="ssd")
+    return cfg, variables, sd
+
+
+def test_ssd_anchors_match_detjax():
+    cfg = _ssd_cfg()
+    for hw in ((96, 96), (512, 512)):
+        ours = anchors_for_shape(hw, anchor_config(cfg))
+        ref = anchors_t(hw, **_ssd_anchor_kw(cfg)).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=0)
+
+
+def test_ssd_export_import_roundtrip(rng):
+    cfg = _ssd_cfg()
+    _, variables = build_model(cfg, jax.random.PRNGKey(2))
+    sd = export_full_detector(variables["params"], variables["batch_stats"],
+                              depth=18, family="ssd")
+    assert "ssdHead.cls_p3.weight" in sd and "fpn.P7_2.weight" in sd
+    _, fresh = build_model(cfg, jax.random.PRNGKey(3))
+    back = import_detector_into_variables(fresh, sd, depth=18, family="ssd")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables["params"], back["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables["batch_stats"], back["batch_stats"])
+
+
+def test_ssd_forward_replica_matches_detjax_logits(rng):
+    from detjax.models.detector import build_detector
+
+    cfg, variables, sd = _ssd_model_and_sd(rng)
+    x = rng.normal(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    module = build_detector(cfg.model)
+    cls, reg = module.apply(variables, jnp.asarray(x), train=False)
+    t_cls, t_reg = detector_forward_t(
+        sd, np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))),
+        _STAGES, cfg.model.num_classes, block="basic", family="ssd")
+    np.testing.assert_allclose(np.asarray(cls), t_cls.numpy(),
+                               atol=5e-4, rtol=5e-4)
+    # reg atol 1e-3: the fixture's 0.5-σ box-head perturbation drives
+    # intermediate magnitudes ~100× the RetinaNet fixture's, so fp32
+    # accumulation-order drift crosses 5e-4 on isolated elements
+    # (measured 5.9e-4 worst of 4656).
+    np.testing.assert_allclose(np.asarray(reg), t_reg.numpy(),
+                               atol=1e-3, rtol=5e-4)
+
+
+def test_ssd_eval_branch_matches_detjax_detect(rng):
+    """Config 2's full path both stacks: SSD head forward → decode with
+    per-level anchor sizes → clip → per-class NMS loop, vs detjax's fused
+    detect — identical pixels/weights, tie-aware."""
+    cfg, variables, sd = _ssd_model_and_sd(rng)
+    canvas = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+
+    tb, ts, tl = eval_branch_t(
+        sd, canvas, _STAGES, cfg.model.num_classes, block="basic",
+        family="ssd", mean=cfg.data.mean, std=cfg.data.std,
+        score_threshold=cfg.eval.score_threshold,
+        iou_threshold=cfg.eval.nms_iou_threshold,
+        max_detections=cfg.eval.max_detections,
+        anchor_kw=_ssd_anchor_kw(cfg), canvas_scale=1.0)
+    assert len(ts) > 3, "workload produced too few detections to be a test"
+
+    det = detect_u8(variables, canvas[None], cfg)
+    nv = int(np.asarray(det.num_valid)[0])
+    jb = np.asarray(det.boxes)[0, :nv]
+    js = np.asarray(det.scores)[0, :nv]
+    jl = np.asarray(det.labels)[0, :nv]
+
+    assert nv == len(ts), (nv, len(ts))
+    to = np.lexsort((tl, -ts))
+    jo = np.lexsort((jl, -js))
+    np.testing.assert_allclose(js[jo], ts[to], atol=2e-5, rtol=1e-5)
+    gap_prev = np.abs(np.diff(ts[to], prepend=np.inf))
+    gap_next = np.abs(np.diff(ts[to], append=-np.inf))
+    untied = (gap_prev > 1e-6) & (gap_next > 1e-6)
+    np.testing.assert_array_equal(jl[jo][untied], tl[to][untied])
+    np.testing.assert_allclose(jb[jo][untied], tb[to][untied],
+                               atol=5e-3, rtol=1e-4)
+
+
+def test_ssd_loss_loop_matches_detjax(rng):
+    from detjax.models.detector import build_detector
+    from detjax.ops.losses import detection_loss
+
+    cfg, variables, sd = _ssd_model_and_sd(rng)
+    b, g = 2, 5
+    images = rng.normal(0, 1, (b, 96, 96, 3)).astype(np.float32)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_labels = -np.ones((b, g), np.int32)
+    for i in range(b):
+        n = int(rng.integers(1, g))
+        x0 = rng.uniform(0, 60, n)
+        y0 = rng.uniform(0, 60, n)
+        gt_boxes[i, :n] = np.stack(
+            [x0, y0, x0 + rng.uniform(8, 35, n), y0 + rng.uniform(8, 35, n)],
+            axis=1)
+        gt_labels[i, :n] = rng.integers(0, cfg.model.num_classes, n)
+
+    module = build_detector(cfg.model)
+    cls, reg = module.apply(variables, jnp.asarray(images), train=False)
+    anchors = jnp.asarray(anchors_for_shape((96, 96), anchor_config(cfg)))
+    out = detection_loss(cls, reg, anchors, jnp.asarray(gt_boxes),
+                         jnp.asarray(gt_labels))
+
+    t_cls, t_reg = loss_loop_t(sd, images, gt_boxes, gt_labels, _STAGES,
+                               cfg.model.num_classes, block="basic",
+                               family="ssd", anchor_kw=_ssd_anchor_kw(cfg))
+    assert float(out.cls_loss) == pytest.approx(t_cls, rel=2e-3, abs=1e-5)
+    assert float(out.reg_loss) == pytest.approx(t_reg, rel=2e-3, abs=1e-5)

@@ -50,17 +50,27 @@ def anchors_t(image_hw: Tuple[int, int], min_level: int = 3,
               max_level: int = 7,
               scales: Sequence[float] = (2 ** 0, 2 ** (1 / 3), 2 ** (2 / 3)),
               ratios: Sequence[float] = (0.5, 1.0, 2.0),
-              base_scale: float = 4.0) -> torch.Tensor:
-    """[ΣA, 4] xyxy float32 anchors over all pyramid levels."""
+              base_scale: float = 4.0,
+              per_level_sizes: Optional[Sequence[Sequence[float]]] = None,
+              ) -> torch.Tensor:
+    """[ΣA, 4] xyxy float32 anchors over all pyramid levels.
+
+    ``per_level_sizes`` (SSD-style, SURVEY.md §2 #5): absolute per-level
+    anchor sizes in pixels — one tuple per level — replacing the RetinaNet
+    ``base_scale × stride × scales`` rule.
+    """
     h, w = image_hw
     out = []
     for lvl in range(min_level, max_level + 1):
         stride = 2 ** lvl
         fh, fw = -(-h // stride), -(-w // stride)
-        base = base_scale * stride
+        if per_level_sizes is not None:
+            base, lvl_scales = 1.0, per_level_sizes[lvl - min_level]
+        else:
+            base, lvl_scales = base_scale * stride, scales
         cell = []
         for r in ratios:
-            for s in scales:
+            for s in lvl_scales:
                 area = (base * s) ** 2
                 cw = math.sqrt(area / r)
                 ch = cw * r
@@ -86,13 +96,17 @@ def anchors_t(image_hw: Tuple[int, int], min_level: int = 3,
 def detector_forward_t(sd: Dict[str, np.ndarray], x_nchw: np.ndarray,
                        stage_sizes: Sequence[int], num_classes: int,
                        block: str = "bottleneck",
-                       num_head_convs: int = 4
+                       num_head_convs: int = 4,
+                       family: str = "retinanet",
                        ) -> Tuple[torch.Tensor, torch.Tensor]:
     """Lineage detector forward in raw torch.nn.functional.
 
     Returns ``(cls_logits [B, ΣA, K], box_deltas [B, ΣA, 4])`` in the
     lineage's anchor-major flattening (matches detjax's head layout —
-    verified in tests/test_torch_import.py).
+    verified in tests/test_torch_import.py). ``family``: "retinanet"
+    (shared 4×conv towers) or "ssd" (one independent 3×3 predictor pair
+    per level — benchmark config 2, weights under ``ssdHead.{cls,box}_p{l}``
+    per detjax.utils.torch_import._ssd_head_key_map).
     """
     import torch.nn.functional as F
 
@@ -152,18 +166,24 @@ def detector_forward_t(sd: Dict[str, np.ndarray], x_nchw: np.ndarray,
         p7 = conv(F.relu(p6), "fpn.P7_2", stride=2, padding=1)
 
         cls_all, box_all = [], []
-        for lvl in (p3, p4, p5, p6, p7):
-            c = lvl
-            for i in range(1, num_head_convs + 1):
-                c = F.relu(conv(c, f"classificationModel.conv{i}", padding=1))
-            c = conv(c, "classificationModel.output", padding=1)
+        for lvl_num, lvl in zip(range(3, 8), (p3, p4, p5, p6, p7)):
+            if family == "ssd":
+                c = conv(lvl, f"ssdHead.cls_p{lvl_num}", padding=1)
+                r = conv(lvl, f"ssdHead.box_p{lvl_num}", padding=1)
+            else:
+                c = lvl
+                for i in range(1, num_head_convs + 1):
+                    c = F.relu(conv(c, f"classificationModel.conv{i}",
+                                    padding=1))
+                c = conv(c, "classificationModel.output", padding=1)
+                r = lvl
+                for i in range(1, num_head_convs + 1):
+                    r = F.relu(conv(r, f"regressionModel.conv{i}",
+                                    padding=1))
+                r = conv(r, "regressionModel.output", padding=1)
             b_, _, h_, w_ = c.shape
             # (B, A·K, H, W) → (B, H, W, A, K) → (B, ·, K): anchor-major
             cls_all.append(c.permute(0, 2, 3, 1).reshape(b_, -1, num_classes))
-            r = lvl
-            for i in range(1, num_head_convs + 1):
-                r = F.relu(conv(r, f"regressionModel.conv{i}", padding=1))
-            r = conv(r, "regressionModel.output", padding=1)
             box_all.append(r.permute(0, 2, 3, 1).reshape(b_, -1, 4))
         return torch.cat(cls_all, dim=1), torch.cat(box_all, dim=1)
 
@@ -288,6 +308,7 @@ def eval_branch_t(
     *,
     block: str = "bottleneck",
     num_head_convs: int = 4,
+    family: str = "retinanet",
     mean: Sequence[float] = IMAGENET_MEAN,
     std: Sequence[float] = IMAGENET_STD,
     min_side: int = 608,
@@ -318,7 +339,7 @@ def eval_branch_t(
 
     cls_logits, deltas = detector_forward_t(
         sd, x_nchw, stage_sizes, num_classes, block=block,
-        num_head_convs=num_head_convs)
+        num_head_convs=num_head_convs, family=family)
     return postprocess_t(
         cls_logits[0], deltas[0], (ch, cw),
         score_threshold=score_threshold, iou_threshold=iou_threshold,
@@ -339,6 +360,7 @@ def loss_loop_t(
     *,
     block: str = "bottleneck",
     num_head_convs: int = 4,
+    family: str = "retinanet",
     fg: float = 0.5,
     bg: float = 0.4,
     alpha: float = 0.25,
@@ -353,7 +375,7 @@ def loss_loop_t(
     x_nchw = np.ascontiguousarray(np.transpose(images, (0, 3, 1, 2)))
     cls_logits, deltas = detector_forward_t(
         sd, x_nchw, stage_sizes, num_classes, block=block,
-        num_head_convs=num_head_convs)
+        num_head_convs=num_head_convs, family=family)
     anchors = anchors_t((h, w), **(anchor_kw or {}))
 
     cls_losses, reg_losses = [], []
