@@ -26,14 +26,20 @@ class SyntheticDetectionDataset:
                  num_classes: int = 8, max_objects: int = 4, seed: int = 0,
                  noise: float = 0.05,
                  size_range: Tuple[float, float] = (0.125, 0.5),
-                 crowd_prob: float = 0.0):
+                 crowd_prob: float = 0.0,
+                 image_sizes: Optional[Tuple[Tuple[int, int], ...]] = None):
         """``size_range``: object side as a fraction of the image side —
         (1/32, ·) produces COCO-"small" objects at 640px, exercising the
         evaluator's area ranges. ``crowd_prob``: probability an object is
         marked iscrowd (COCOeval ignore-region semantics; the hard e2e
-        gate uses this to exercise the crowd path)."""
+        gate uses this to exercise the crowd path). ``image_sizes``: a
+        cycle of per-image (H, W) source shapes — mixed-geometry val sets
+        (the reference's variable-size val2017 regime, SURVEY.md §2 #14);
+        image ``i`` gets ``image_sizes[i % len]``; overrides
+        ``image_size``."""
         self.num_images = num_images
         self.image_size = image_size
+        self.image_sizes = tuple(map(tuple, image_sizes)) if image_sizes else None
         self.num_classes = num_classes
         self.max_objects = max_objects
         self.seed = seed
@@ -50,7 +56,8 @@ class SyntheticDetectionDataset:
         if not 0 <= idx < self.num_images:
             raise IndexError(idx)
         rng = np.random.default_rng(self.seed * 100003 + idx)
-        h, w = self.image_size
+        h, w = (self.image_sizes[idx % len(self.image_sizes)]
+                if self.image_sizes else self.image_size)
         img = (rng.normal(0.2, self.noise, (h, w, 3)).clip(0, 1) * 255).astype(np.uint8)
         n = int(rng.integers(1, self.max_objects + 1))
         lo, hi = self.size_range
@@ -78,5 +85,5 @@ class SyntheticDetectionDataset:
             "areas": ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])),
             "image_id": idx,
             "file_name": f"synthetic_{idx}.png",
-            "size": self.image_size,
+            "size": (h, w),
         }

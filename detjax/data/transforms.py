@@ -33,6 +33,68 @@ def protocol_scale(h: int, w: int, min_side: int = 608,
     return min(min_side / min(h, w), max_side / max(h, w))
 
 
+def protocol_canvas(h: int, w: int, min_side: int = 608,
+                    max_side: int = 1024, pad_stride: int = 32
+                    ) -> Tuple[Tuple[int, int], float]:
+    """The reference Resizer's OUTPUT geometry for an (h, w) source
+    (SURVEY.md §2 #14, §3.2): protocol scale, bilinear resize to the
+    rounded size, zero-pad bottom/right to a multiple of ``pad_stride``.
+    Returns ``((canvas_h, canvas_w), scale)`` — the per-image variable
+    canvas the protocol evaluator buckets on. The canvas family is finite
+    (short side ≈ min_side, long side ≤ pad-rounded max_side), so eval
+    compiles one detect engine per DISTINCT canvas, not per image."""
+    scale = protocol_scale(h, w, min_side, max_side)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    ph = -(-nh // pad_stride) * pad_stride
+    pw = -(-nw // pad_stride) * pad_stride
+    return (ph, pw), scale
+
+
+def _resize_u8(image: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Bilinear uint8 resize through the in-repo C++ kernel (bit-identical
+    to PIL BILINEAR — pinned in tests/test_native.py), PIL fallback."""
+    if (nh, nw) == image.shape[:2]:
+        return image
+    from detjax import native
+
+    if native.available():
+        return native.resize_bilinear(image, nh, nw)
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(image).resize((nw, nh), Image.BILINEAR), np.uint8)
+
+
+def letterbox_protocol(
+    image: np.ndarray,  # [h, w, 3] uint8
+    boxes: np.ndarray,  # [n, 4] xyxy in source coords
+    canvas_hw: Tuple[int, int],
+    min_side: int = 608,
+    max_side: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Reproduce the reference Resizer's content EXACTLY on a given
+    protocol canvas (normally :func:`protocol_canvas`'s output for this
+    image): protocol scale — NOT canvas-fit, so the resized size is
+    bit-identical to the reference's ``round(h*scale) × round(w*scale)``
+    even when pad-rounding makes the canvas slightly "looser" than the
+    content — top-left placement, zero pad. Returns
+    ``(canvas uint8 [H,W,3], boxes in canvas coords, scale)``."""
+    th, tw = canvas_hw
+    h, w = image.shape[:2]
+    scale = protocol_scale(h, w, min_side, max_side)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    if nh > th or nw > tw:
+        raise ValueError(
+            f"protocol content {nh}x{nw} exceeds canvas {th}x{tw} "
+            f"(source {h}x{w}, min/max {min_side}/{max_side})")
+    canvas = np.zeros((th, tw, 3), np.uint8)
+    canvas[:nh, :nw] = _resize_u8(image, nh, nw)
+    out_boxes = boxes.astype(np.float32) * scale
+    np.clip(out_boxes[:, 0::2], 0, nw, out=out_boxes[:, 0::2])
+    np.clip(out_boxes[:, 1::2], 0, nh, out=out_boxes[:, 1::2])
+    return canvas, out_boxes, scale
+
+
 def letterbox(
     image: np.ndarray,  # [h, w, 3] uint8
     boxes: np.ndarray,  # [n, 4] xyxy in source coords
@@ -62,21 +124,8 @@ def letterbox(
     if scale_minmax is not None:
         scale = min(scale, protocol_scale(h, w, *scale_minmax))
     nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
-    if (nh, nw) == (h, w):
-        resized = image
-    else:
-        from detjax import native
-
-        if native.available():
-            resized = native.resize_bilinear(image, nh, nw)
-        else:
-            from PIL import Image
-
-            resized = np.asarray(
-                Image.fromarray(image).resize((nw, nh), Image.BILINEAR),
-                np.uint8)
     canvas = np.zeros((th, tw, 3), np.uint8)
-    canvas[:nh, :nw] = resized
+    canvas[:nh, :nw] = _resize_u8(image, nh, nw)
     out_boxes = boxes.astype(np.float32) * scale
     np.clip(out_boxes[:, 0::2], 0, nw, out=out_boxes[:, 0::2])
     np.clip(out_boxes[:, 1::2], 0, nh, out=out_boxes[:, 1::2])

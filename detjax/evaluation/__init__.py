@@ -10,7 +10,8 @@ large result sets); numpy remains the always-available reference.
 
 from detjax.evaluation.coco_map import COCOMetric, evaluate_detections
 from detjax.evaluation.evaluator import run_coco_eval
+from detjax.evaluation.protocol import run_coco_eval_protocol
 from detjax.evaluation.voc import evaluate_voc
 
 __all__ = ["COCOMetric", "evaluate_detections", "run_coco_eval",
-           "evaluate_voc"]
+           "run_coco_eval_protocol", "evaluate_voc"]
