@@ -19,13 +19,20 @@ Protocol notes:
   in tests/test_torch_import.py). Lineage whole-module pickles must be
   converted to a state_dict first (torch.save(m.state_dict()) on any
   machine with the reference code; --torch-ckpt accepts state_dict files).
-- Resolution: the reference evaluates variable min-608/max-1024
-  (SURVEY.md §2 #14); --eval-1024 letterboxes to the 1024 canvas
-  (retinanet_r50_1024 preset) so every val2017 image fits at its
-  reference scale. Default is the 640 train canvas (faster, slightly
-  lower AP).
+- Resolution (DEFAULT): the reference's exact variable geometry — each
+  image at its own min-608/max-1024, pad-to-32 canvas
+  (evaluation/protocol.py bucketed engines; SURVEY.md §2 #14). This is
+  the geometry the reference's headline 0.335 AP was measured at; the
+  fixed-canvas alternatives (--fixed-canvas 640|1024) letterbox onto one
+  static shape and were measured to cost up to 0.016 AP from the changed
+  border environment alone (scripts/exp_torchref_map.py) — use them only
+  for throughput comparisons, never for the parity gate.
 - Evaluator: in-repo COCOeval-protocol implementation (101-pt AP, area
   ranges, maxDets, crowd semantics — 12 golden protocol tests).
+- Two-stack exactness of this exact pipeline (bucketed detjax vs a torch
+  replica of the reference eval branch, mixed geometry, real JPEG decode)
+  is gated at fp32 worst |Δ| ≤ 0.002 on all 12 stats in
+  scripts/e2e_gate.py --gate torchref.
 """
 
 from __future__ import annotations
@@ -45,8 +52,14 @@ def main():
                     help="instances_val2017.json")
     ap.add_argument("--images", required=True, help="val2017 image dir")
     ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--fixed-canvas", type=int, default=None,
+                    choices=(640, 1024),
+                    help="letterbox every image onto ONE static canvas "
+                         "instead of the per-image protocol geometry — "
+                         "faster, but NOT the reference's geometry (costs "
+                         "up to 0.016 AP; never use for the parity gate)")
     ap.add_argument("--eval-1024", action="store_true",
-                    help="evaluate at the reference's 1024 protocol canvas")
+                    help="deprecated alias for --fixed-canvas 1024")
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--backbone-only", action="store_true",
                     help="import only the backbone (heads stay random — "
@@ -86,11 +99,17 @@ def main():
 
     from detjax.cli.common import parse_overrides
 
-    preset = "retinanet_r50_1024" if args.eval_1024 else "retinanet_r50_640"
+    fixed = args.fixed_canvas or (1024 if args.eval_1024 else None)
+    preset = "retinanet_r50_1024" if fixed == 1024 else "retinanet_r50_640"
     overrides = {"model.backbone_depth": args.depth}
+    if fixed is None:
+        # per-image protocol geometry (the parity default): the bucketed
+        # evaluator reads min/max from eval_scale_minmax
+        overrides["data.eval_scale_minmax"] = (608, 1024)
     overrides.update(parse_overrides(args.overrides))
     cfg = get_config(preset, **overrides)
-    print(f"preset={preset} depth={args.depth}")
+    print(f"preset={preset} depth={args.depth} geometry="
+          + (f"fixed-{fixed}" if fixed else "protocol per-image 608/1024"))
 
     _, variables = build_model(cfg, jax.random.PRNGKey(0))
     sd = load_state_dict_file(args.torch_ckpt)
@@ -101,17 +120,22 @@ def main():
           f"from {args.torch_ckpt} ({len(sd)} tensors)")
 
     ds = CocoDataset(args.ann, args.images)
-    # same machinery as run_coco_eval, plus a detections fingerprint
-    # (count + score sum) so the rehearsal can assert cross-process
-    # determinism of the import->detect->NMS path, not just the AP
+    # same machinery as run_coco_eval(_protocol), plus a detections
+    # fingerprint (count + score sum) so the rehearsal can assert
+    # cross-process determinism of the import->detect->NMS path
     from detjax.evaluation.coco_map import COCOMetric
     from detjax.evaluation.evaluator import _gt_provider, iter_detections
+    from detjax.evaluation.protocol import iter_detections_protocol
 
     metric = COCOMetric(category_ids=list(range(cfg.model.num_classes)))
     gt_of = _gt_provider(ds)
     n_dets, score_sum = 0, 0.0
-    for img_id, boxes, scores, labels in iter_detections(
-            variables, ds, cfg, max_images=args.max_images):
+    detections = (
+        iter_detections_protocol(variables, ds, cfg,
+                                 max_images=args.max_images, verbose=True)
+        if fixed is None else
+        iter_detections(variables, ds, cfg, max_images=args.max_images))
+    for img_id, boxes, scores, labels in detections:
         metric.add(img_id, gt_of(img_id), boxes, scores, labels)
         n_dets += int(len(scores))
         score_sum += float(np.sum(scores))
