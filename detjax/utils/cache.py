@@ -54,15 +54,34 @@ def host_fingerprint() -> str:
     import platform
 
     feats = ""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not feats and line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif not model and line.startswith(("model name",
+                                                    "Hardware", "CPU part")):
+                    model = line.split(":", 1)[1].strip()
+                if feats and model:
                     break
     except OSError:
         pass
-    raw = f"{platform.machine()}|{feats}"
+    if not feats:
+        # No feature flags readable: an arch-only hash would let two
+        # different-ISA hosts share a subdir — the SIGILL class this
+        # fingerprint exists to prevent (ADVICE r4 #1). Mix in the CPU
+        # model / processor string as the next-most-discriminating field
+        # and make the degraded mode visible.
+        model = model or platform.processor() or platform.node()
+        import warnings
+
+        warnings.warn(
+            "host_fingerprint: /proc/cpuinfo feature flags unreadable — "
+            f"falling back to arch+model fingerprint ({platform.machine()}"
+            f"|{model}); different-ISA hosts with the same model string "
+            "would share a compile-cache subdir", RuntimeWarning)
+    raw = f"{platform.machine()}|{model}|{feats}"
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 

@@ -237,7 +237,18 @@ def _ssd_head_key_map(min_level: int = 3,
 
 def _head_key_map(family: str, num_head_convs: int, min_level: int,
                   max_level: int) -> Dict[str, Tuple[str, ...]]:
-    """FPN + family-specific head key map (the non-backbone detector part)."""
+    """FPN + family-specific head key map (the non-backbone detector part).
+
+    The FPN map hardcodes the lineage's P3–P7 pyramid (laterals on C3–C5
+    + stride-2 P6/P7 extras); a config with a different pyramid would get
+    a silently inconsistent key map, so reject it loudly (ADVICE r4 #5).
+    """
+    if max_level != 7 or not 3 <= min_level <= 5:
+        raise ValueError(
+            f"lineage key map covers the P{min_level}..P7 pyramid with "
+            f"min_level in 3..5 only; got min_level={min_level}, "
+            f"max_level={max_level} — extend _fpn_head_key_map for this "
+            "pyramid before importing/exporting")
     fpn_and_head = _fpn_head_key_map(num_head_convs=num_head_convs,
                                      min_level=min_level)
     if family == "retinanet":

@@ -82,6 +82,59 @@ def write_file_dataset(out: str, images: int = 256, classes: int = 80,
     return ann_path
 
 
+def dump_dataset_as_coco(ds, out: str, quality: int = 95) -> str:
+    """Materialize ANY record dataset (e.g. SyntheticDetectionDataset) as
+    real JPEG files + a COCO annotation JSON under ``out`` — so parity
+    gates can feed detjax's PRODUCTION loader (CocoDataset + in-repo
+    libjpeg decode) and a torch replica (PIL decode) from the same bytes
+    on disk (VERDICT r4 next #2: the last production segment, decode,
+    exercised in a two-stack mAP run).
+
+    Category ids equal the dataset's 0-based labels, so CocoDataset's
+    sorted-id→contiguous mapping is the identity and model labels line up
+    on both stacks. Idempotent: an existing annotation JSON is reused.
+    Returns the annotation JSON path (images land in ``out``/images)."""
+    from PIL import Image
+
+    img_dir = os.path.join(out, "images")
+    ann_dir = os.path.join(out, "annotations")
+    ann_path = os.path.join(ann_dir, "instances.json")
+    if os.path.exists(ann_path):
+        return ann_path
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    image_recs, annotations = [], []
+    ann_id = 1
+    num_classes = len(ds.class_names)
+    for i in range(len(ds)):
+        rec = ds[i]
+        h, w = rec["image"].shape[:2]
+        fname = f"{int(rec['image_id']):012d}.jpg"
+        # subsampling=0 (4:4:4): chroma is the class signal in synthetic
+        # scenes; 4:2:0 would blur the color edges GT boxes sit on
+        Image.fromarray(rec["image"]).save(
+            os.path.join(img_dir, fname), "JPEG", quality=quality,
+            subsampling=0)
+        image_recs.append({"id": int(rec["image_id"]), "file_name": fname,
+                           "height": h, "width": w})
+        for b, l, c, a in zip(rec["boxes"], rec["labels"],
+                              rec["iscrowd"], rec["areas"]):
+            x0, y0, x1, y1 = (float(v) for v in b)
+            annotations.append({
+                "id": ann_id, "image_id": int(rec["image_id"]),
+                "category_id": int(l),
+                "bbox": [x0, y0, x1 - x0, y1 - y0],
+                "area": float(a), "iscrowd": int(c)})
+            ann_id += 1
+    with open(ann_path, "w") as f:
+        json.dump({"images": image_recs, "annotations": annotations,
+                   "categories": [{"id": c, "name": f"class_{c}"}
+                                  for c in range(num_classes)]}, f)
+    print(f"dumped {len(ds)} JPEGs + COCO JSON to {out}")
+    return ann_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)

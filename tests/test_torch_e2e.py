@@ -48,14 +48,28 @@ _OVR = {
     "model.fpn_channels": 32,
     "model.head_channels": 32,
     "model.dtype": "float32",
-    "eval.pre_nms_top_k": 1746 * 8,  # keep every pair above threshold
     "eval.batch_size": 2,
 }
 _STAGES = (2, 2, 2, 2)
 
 
+def _with_all_pairs(cfg):
+    """pre_nms_top_k = ΣA × K computed from the config's own anchor
+    layout (9/cell RetinaNet, 6/cell SSD — ADVICE r4 #4): the candidate
+    prefilter then keeps EVERY (anchor, class) pair above the score
+    floor, so the torch replica's exhaustive per-class loop and detjax's
+    two-stage selection see identical candidate sets by construction."""
+    import dataclasses
+
+    n = anchors_for_shape(cfg.model.image_size,
+                          anchor_config(cfg)).shape[0]
+    return dataclasses.replace(
+        cfg, eval=dataclasses.replace(
+            cfg.eval, pre_nms_top_k=int(n) * cfg.model.num_classes))
+
+
 def _cfg():
-    return get_config("retinanet_r50_640", **_OVR)
+    return _with_all_pairs(get_config("retinanet_r50_640", **_OVR))
 
 
 def _model_and_sd(rng):
@@ -228,16 +242,15 @@ def test_forward_replica_matches_detjax_logits(rng):
 def _ssd_cfg():
     from detjax.config import _ssd_anchor_sizes
 
-    return get_config("ssd_512", **{
+    return _with_all_pairs(get_config("ssd_512", **{
         "model.backbone_depth": 18,
         "model.image_size": (96, 96),
         "model.num_classes": 8,
         "model.fpn_channels": 32,
         "model.dtype": "float32",
         "model.anchor_per_level_sizes": _ssd_anchor_sizes(96, 5),
-        "eval.pre_nms_top_k": 1746 * 8,  # keep every pair above threshold
         "eval.batch_size": 2,
-    })
+    }))
 
 
 def _ssd_anchor_kw(cfg):
