@@ -96,19 +96,29 @@ def iter_detections(variables, dataset, cfg: Config,
                 else P("data"))
         shard = NamedSharding(mesh, spec)
 
+    if mesh is not None:
+        from detjax.parallel.mesh import _mesh_context
+
+        mesh_ctx = _mesh_context(mesh)
+    else:
+        mesh_ctx = contextlib.nullcontext
+
     def dispatch(batch):
-        # jit dispatch is async: returns device handles immediately
-        imgs = (jax.device_put(batch["images"], shard) if shard is not None
-                else jnp.asarray(batch["images"]))
-        if imgs.dtype == jnp.uint8:
-            if detect_u8 is not None:
-                return detect_u8(variables, imgs)
-            b = imgs.shape[0]
-            imgs, _ = device_augment(
-                imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
-                hflip_prob=0.0, mean=cfg.data.mean, std=cfg.data.std,
-                out_dtype=cfg.model.dtype)
-        return detect(variables, imgs)
+        # jit dispatch is async: returns device handles immediately.
+        # Spatial meshes install the abstract-mesh context so the model's
+        # layout rule (models/spatial.py) sees the 'space' axis.
+        with mesh_ctx():
+            imgs = (jax.device_put(batch["images"], shard)
+                    if shard is not None else jnp.asarray(batch["images"]))
+            if imgs.dtype == jnp.uint8:
+                if detect_u8 is not None:
+                    return detect_u8(variables, imgs)
+                b = imgs.shape[0]
+                imgs, _ = device_augment(
+                    imgs, jnp.zeros((b, 1, 4), jnp.float32), zeros_rng,
+                    hflip_prob=0.0, mean=cfg.data.mean, std=cfg.data.std,
+                    out_dtype=cfg.model.dtype)
+            return detect(variables, imgs)
 
     def finalize(det, batch):
         boxes = np.asarray(det.boxes)

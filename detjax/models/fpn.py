@@ -15,6 +15,8 @@ from typing import Any, Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
+from detjax.models.spatial import unshard_tiny_levels
+
 Array = jnp.ndarray
 
 
@@ -60,4 +62,8 @@ class FPN(nn.Module):
             out[top + 1] = conv(3, 2, f"output_p{top + 1}")(feats[top])
         for l in range(top + 2, self.max_level + 1):
             out[l] = conv(3, 2, f"output_p{l}")(nn.relu(out[l - 1]))
-        return {l: out[l] for l in range(self.min_level, self.max_level + 1)}
+        # Spatial-mesh layout rule: levels too small to row-shard over the
+        # active 'space' axis become batch-only sharded here (no-op
+        # otherwise) — see detjax/models/spatial.py.
+        return unshard_tiny_levels(
+            {l: out[l] for l in range(self.min_level, self.max_level + 1)})

@@ -95,7 +95,10 @@ def global_batch_from_local(batch: Dict[str, Any], mesh: Mesh,
 
 def _shardy_toggle():
     """The jax config context that selects the partitioner, or None when
-    legacy GSPMD propagation is no longer toggleable (future jax)."""
+    legacy GSPMD propagation is no longer toggleable (future jax). Used
+    ONLY by tests/test_parallel.py to pin Shardy-vs-GSPMD loss equality
+    across the partitioner migration; production compiles run the jax
+    default (Shardy) everywhere."""
     try:
         from jax._src.config import use_shardy_partitioner
         return use_shardy_partitioner
@@ -103,49 +106,21 @@ def _shardy_toggle():
         return None
 
 
-def _spatial_safe_partitioner(mesh: Mesh):
-    """Partitioner context for compiles over ``mesh``.
-
-    JAX 0.9.0's Shardy propagation MIscompiles the train step on a 2-D
-    ``(data, space)`` mesh: the cls-head conv BIAS gradient (an
-    [1, 1, 1, C] reduce in the conv transpose) is assigned degenerate
-    shardings over its size-1 dims, and the partitioner's
-    replicate-then-repartition fallback ("Involuntary full
-    rematerialization", xla b/433785288) produces wrong values — the
-    forward logits feeding the loss come out near zero whenever the
-    backward is live (measured: loss 301.8 vs 2.30, grad_norm 2255 vs
-    17.3 on the 8-device CPU mesh; forward-only and legacy-GSPMD compiles
-    are both correct). Until the Shardy fix lands, spatial-mesh train
-    compiles use legacy GSPMD propagation, scoped via the config context
-    (``include_in_jit_key=True`` → a separate, correctly-compiled jit
-    cache entry; DP-only meshes keep the Shardy default).
-
-    UPGRADE PLAYBOOK (guarded by tests/test_parallel.py
-    ``test_shardy_spatial_canary``, VERDICT r3 #6):
-      * After a jax upgrade, run the canary. If it FAILS with "Shardy now
-        compiles ... correctly", delete this pin (return nullcontext for
-        every mesh), delete :func:`_shardy_toggle`, and retire the canary
-        — then re-verify ``test_spatial_partitioned_step_matches_single_
-        device`` and the driver dryrun's spatial phase.
-      * If jax ever REMOVES legacy GSPMD propagation while Shardy is
-        still broken, this function raises instead of silently
-        miscompiling — spatial meshes become unavailable until the Shardy
-        fix; DP-only meshes are unaffected.
-    """
+def _mesh_context(mesh: Mesh):
+    """Compile context for ``mesh``: installs the ABSTRACT mesh so the
+    model's spatial layout rule (detjax/models/spatial.py
+    ``unshard_tiny_levels``) can see the 'space' axis at trace time and
+    place the FPN gather boundary when pyramid levels are too small to
+    row-shard — the change that makes jax 0.9.0's default Shardy
+    partitioner compile the DP×SP step CORRECTLY (it miscompiled the
+    degenerate-level repartition, xla b/433785288; the round-4 legacy
+    GSPMD pin is retired — see spatial.py for the measurements and
+    tests/test_parallel.py::test_spatial_shardy_matches_gspmd for the
+    equality pin). The context is jit-key-aware: DP-only and spatial
+    compiles never share a trace."""
     if "space" not in mesh.axis_names:
         return contextlib.nullcontext
-    toggle = _shardy_toggle()
-    if toggle is None:
-        raise RuntimeError(
-            "spatial (data, space) meshes need legacy GSPMD sharding "
-            "propagation, but this jax no longer exposes "
-            "use_shardy_partitioner. Shardy miscompiles the spatial train "
-            "step (see _spatial_safe_partitioner docstring / xla "
-            "b/433785288); refusing to compile a silently-wrong program. "
-            "Run tests/test_parallel.py::test_shardy_spatial_canary — if "
-            "Shardy is fixed in this jax, remove the pin per the upgrade "
-            "playbook; otherwise use a 1-D data mesh.")
-    return lambda: toggle(False)
+    return lambda: jax.sharding.use_abstract_mesh(mesh.abstract_mesh)
 
 
 def parallel_train_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -164,7 +139,7 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, axis_name: str = "data"):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
     img = NamedSharding(mesh, _image_spec(mesh, axis_name))
-    partitioner = _spatial_safe_partitioner(mesh)
+    partitioner = _mesh_context(mesh)
 
     def _place(state: TrainState, batch):
         batch = {k: jax.device_put(v, img if k == "images" else data)

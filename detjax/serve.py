@@ -323,7 +323,12 @@ def _build_engine(variables, cfg, engine: str, batch_size: int,
         # async: jit dispatch returns device handles immediately, so
         # the NEXT batch's normalize+H2D overlaps this one's compute
         if batch_shard is not None:  # split the batch across the mesh
-            return run(jax.device_put(canvases_u8, batch_shard))
+            from detjax.parallel.mesh import _mesh_context
+
+            # spatial meshes install the abstract-mesh context so the
+            # model's layout rule (models/spatial.py) sees 'space'
+            with _mesh_context(mesh)():
+                return run(jax.device_put(canvases_u8, batch_shard))
         return run(jnp.asarray(canvases_u8))
 
     def finalize_batch(det, n: int):

@@ -26,6 +26,10 @@ import os
 import sys
 import time
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:  # detjax / scripts.* / tests.torch_ref imports
+    sys.path.insert(0, _REPO)
+
 import numpy as np
 import jax
 
@@ -41,9 +45,6 @@ from detjax.train import fit
 # 2500-step trains. DETJAX_GATES_OUT overrides the path.
 # ---------------------------------------------------------------------------
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if _REPO not in sys.path:  # scripts.* / tests.torch_ref imports below
-    sys.path.insert(0, _REPO)
 GATES_OUT = os.environ.get("DETJAX_GATES_OUT",
                            os.path.join(_REPO, "GATES_r05.json"))
 _EVIDENCE = {}

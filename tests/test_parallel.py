@@ -177,28 +177,19 @@ def _spatial_cfg_and_batch():
     return cfg, batch
 
 
-def test_shardy_spatial_canary():
-    """Version-gated canary for the GSPMD pin (VERDICT r3 #6).
+def test_spatial_shardy_matches_gspmd():
+    """The partitioner-migration equality pin (VERDICT r4 next #6).
 
-    Spatial-mesh train compiles are pinned to legacy GSPMD propagation
-    because JAX 0.9.0's Shardy miscompiles them (parallel/mesh.py
-    ``_spatial_safe_partitioner`` — the bias-grad degenerate-sharding
-    repro preserved there). This test re-runs the SAME spatial train step
-    with Shardy forced ON:
-
-    - Shardy produces the correct loss → the pin is OBSOLETE: fail loud
-      with removal instructions (the upgrade playbook in mesh.py).
-    - Shardy still miscompiles (wrong loss) or crashes → pass: the pin
-      is still earning its keep.
-    """
-    from detjax.parallel.mesh import _shardy_toggle
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    toggle = _shardy_toggle()
-    if toggle is None:
-        pytest.skip("jax no longer exposes use_shardy_partitioner; the "
-                    "fail-loud leg is covered by "
-                    "test_spatial_refuses_without_gspmd")
+    Round 4 pinned spatial-mesh compiles to legacy GSPMD propagation
+    because Shardy (jax 0.9.0's default) miscompiled them. Round 5
+    retired the pin: the model's spatial layout rule
+    (detjax/models/spatial.py — FPN gather boundary when any pyramid
+    level is too small to row-shard) makes the SAME step compile
+    correctly under Shardy. This test pins the migration: the production
+    path (make_parallel_train_step — Shardy + abstract-mesh context)
+    must agree with BOTH the single-device step and the legacy-GSPMD
+    compile of the same sharded program."""
+    from detjax.parallel.mesh import _mesh_context, _shardy_toggle
 
     cfg, batch = _spatial_cfg_and_batch()
     s1 = make_train_state(cfg, jax.random.PRNGKey(0))
@@ -206,44 +197,51 @@ def test_shardy_spatial_canary():
     loss_ref = float(m1["loss"])
 
     mesh = make_mesh(spatial=2)
-    s8 = jax.device_put(make_train_state(cfg, jax.random.PRNGKey(0)),
-                        NamedSharding(mesh, P()))
+    step = make_parallel_train_step(cfg, mesh)  # Shardy (jax default)
+    _, m_sh = step(make_train_state(cfg, jax.random.PRNGKey(0)), batch)
+    loss_shardy = float(m_sh["loss"])
+    np.testing.assert_allclose(loss_shardy, loss_ref, rtol=2e-3)
+
+    toggle = _shardy_toggle()
+    if toggle is None:
+        print("legacy GSPMD toggle gone from this jax; Shardy==single "
+              "equality stands alone")
+        return
     batch_sh = shard_batch(batch, mesh)
-    try:
-        with toggle(True):
-            _, m_sh = make_train_step(cfg)(s8, batch_sh)
-        loss_shardy = float(m_sh["loss"])
-        shardy_correct = (np.isfinite(loss_shardy)
-                          and abs(loss_shardy - loss_ref)
-                          <= 0.02 * max(abs(loss_ref), 1e-6))
-    except Exception as e:  # a crash is also "still broken"
-        loss_shardy = None
-        shardy_correct = False
-        print(f"Shardy spatial compile raised: {e!r}")
-    if shardy_correct:
-        pytest.fail(
-            f"Shardy now compiles the DP×SP spatial train step CORRECTLY "
-            f"(loss {loss_shardy:.4f} == reference {loss_ref:.4f}). The "
-            "GSPMD pin is obsolete: follow the upgrade playbook in "
-            "detjax/parallel/mesh.py _spatial_safe_partitioner (remove "
-            "the pin, retire this canary, re-verify the spatial test and "
-            "driver dryrun).")
-    print(f"Shardy spatial still miscompiles (loss {loss_shardy} vs "
-          f"reference {loss_ref:.4f}) — GSPMD pin still required")
+    with toggle(False), _mesh_context(mesh)():
+        _, m_g = make_train_step(cfg)(
+            make_train_state(cfg, jax.random.PRNGKey(0)), batch_sh)
+    loss_gspmd = float(m_g["loss"])
+    np.testing.assert_allclose(loss_shardy, loss_gspmd, rtol=2e-3)
+    print(f"spatial step: shardy {loss_shardy:.4f} == gspmd "
+          f"{loss_gspmd:.4f} == single {loss_ref:.4f}")
 
 
-def test_spatial_refuses_without_gspmd(monkeypatch):
-    """When legacy GSPMD propagation disappears from jax, the spatial
-    path must REFUSE loudly instead of compiling a silently-wrong program
-    (VERDICT r3 #6)."""
-    from detjax.parallel import mesh as mesh_mod
+def test_spatial_layout_rule():
+    """models/spatial.py unshard_tiny_levels: identity without a spatial
+    mesh; identity when every level is row-shardable; batch-only on ALL
+    levels (the FPN gather boundary) as soon as one level is degenerate —
+    a mixed layout would route the row→batch reshard through the
+    partitioner's broken degenerate-tensor path (xla b/433785288)."""
+    from detjax.models.spatial import unshard_tiny_levels
 
-    monkeypatch.setattr(mesh_mod, "_shardy_toggle", lambda: None)
     mesh = make_mesh(spatial=2)
-    with pytest.raises(RuntimeError, match="GSPMD"):
-        make_parallel_train_step(_cfg(8), mesh)
-    # 1-D data meshes are unaffected by the pin
-    make_parallel_train_step(_cfg(8), make_mesh())
+
+    def n_constraints(levels_rows):
+        feats = {l: jnp.zeros((2, r, r, 8)) for l, r in levels_rows}
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            jaxpr = jax.make_jaxpr(unshard_tiny_levels)(feats)
+        return sum(1 for eqn in jaxpr.jaxpr.eqns
+                   if "sharding_constraint" in str(eqn.primitive))
+
+    # no mesh installed → no-op, usable under plain jit/init
+    plain = unshard_tiny_levels({3: jnp.zeros((2, 16, 16, 8))})
+    assert plain[3].shape == (2, 16, 16, 8)
+    assert n_constraints([(3, 16), (4, 8), (5, 4)]) == 0  # healthy: SP on
+    # degenerate pyramid (P6=2, P7=1 rows): ALL five levels constrained
+    assert n_constraints([(3, 16), (4, 8), (5, 4), (6, 2), (7, 1)]) == 5
+    # uneven rows (3 over 2 shards) also count as degenerate
+    assert n_constraints([(3, 12), (4, 6), (5, 3)]) == 3
 
 
 def test_spatial_shard_batch_layout():
