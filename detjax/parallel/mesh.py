@@ -13,14 +13,16 @@ Spatial partitioning (``spatial > 1``): the one *model*-sharding axis that
 IS idiomatic for a single-stage CNN detector on TPU. The mesh becomes 2-D
 ``('data', 'space')`` and images are sharded ``P('data', 'space')`` — each
 image's ROWS are split across the 'space' group, so the conv stack runs
-spatially partitioned with GSPMD inserting halo exchanges (collective
-permutes of boundary rows) over ICI. Anchor-space ops (flatten → matching
-→ loss) reshard to ``P('data')`` at the flatten boundary (one all-gather
-of head outputs per step — the classic TPU detection spatial-partitioning
-design). Use when the canvas is too large for one chip's step time or HBM
-(e.g. the 1024-px eval protocol, megapixel serving): it scales a FIXED
-batch to more chips than DP alone allows (DP needs bs ≥ n_devices;
-DP×SP needs bs ≥ n_devices / spatial).
+spatially partitioned with the partitioner (Shardy, jax's default)
+inserting halo exchanges (collective permutes of boundary rows) over ICI.
+Pyramid levels too small to row-shard gather at the FPN output boundary
+(detjax/models/spatial.py layout rule); anchor-space ops (flatten →
+matching → loss) reshard to ``P('data')`` (one all-gather per step — the
+classic TPU detection spatial-partitioning design). Use when the canvas
+is too large for one chip's step time or HBM (e.g. the 1024-px eval
+protocol, megapixel serving): it scales a FIXED batch to more chips than
+DP alone allows (DP needs bs ≥ n_devices; DP×SP needs bs ≥
+n_devices / spatial).
 """
 
 from __future__ import annotations
