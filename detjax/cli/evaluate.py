@@ -32,6 +32,15 @@ def main():
                          "be trained with train.ema_decay>0; pass the same "
                          "--set train.ema_decay=... here)")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--protocol", action="store_true",
+                    help="evaluate each image at its exact reference "
+                         "protocol canvas (min-608/max-1024 pad-32, "
+                         "per-image variable geometry via bucketed "
+                         "engines — evaluation/protocol.py) instead of "
+                         "one fixed canvas; min/max come from "
+                         "data.eval_scale_minmax (default 608/1024). "
+                         "This is the mAP-parity geometry "
+                         "(scripts/coco_parity.py default)")
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--set", action="append", dest="overrides")
     from detjax.utils.cache import (add_compile_cache_flag,
@@ -78,9 +87,44 @@ def main():
             return quant.detect_int8(qstate["q"], x, cfg)
 
     if args.voc:
+        if args.protocol:
+            ap.error("--protocol is a COCO-path option")
         res = run_voc_eval(variables, ds, cfg, max_images=args.max_images)
         for k, v in res.items():
             print(f"{k}: {v:.4f}")
+    elif args.protocol:
+        from detjax.evaluation import run_coco_eval_protocol
+
+        detect_fn_for = None
+        if args.int8:
+            # calibrate ONCE at the preset's fixed canvas, then serve
+            # every protocol bucket from the same quantized tree (the
+            # production recipe; gates pin its accuracy vs the torch
+            # replica in GATES_r05.json int8 columns)
+            import jax
+            import jax.numpy as jnp
+
+            from detjax import quant
+            from detjax.data.pipeline import (device_augment,
+                                              make_eval_iterator)
+
+            batch = next(iter(make_eval_iterator(ds, cfg)))
+            imgs = jnp.asarray(batch["images"])
+            if imgs.dtype == jnp.uint8:
+                imgs, _ = device_augment(
+                    imgs, jnp.zeros((imgs.shape[0], 1, 4), jnp.float32),
+                    jax.random.PRNGKey(0), hflip_prob=0.0,
+                    mean=cfg.data.mean, std=cfg.data.std)
+            qtree = quant.quantize_model(
+                variables, cfg, imgs, calib_mode=args.int8_calib_mode)
+
+            def detect_fn_for(bcfg, qt=qtree):
+                return lambda _v, u8: quant.detect_int8_u8(qt, u8, bcfg)
+        res = run_coco_eval_protocol(
+            variables, ds, cfg, max_images=args.max_images,
+            detect_fn_for=detect_fn_for, verbose=True)
+        for k, v in res.stats.items():
+            print(f"{k:>6}: {v:.4f}")
     else:
         res = run_coco_eval(variables, ds, cfg, max_images=args.max_images,
                             detect_fn=detect_fn)

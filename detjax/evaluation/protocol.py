@@ -100,30 +100,39 @@ def iter_detections_protocol(
     bs = cfg.eval.batch_size
 
     def batches():
-        for hw in sorted(buckets):
-            bcfg = _bucket_cfg(cfg, hw)
-            detect = (detect_fn_for(bcfg) if detect_fn_for is not None
-                      else _detect_u8_fn(bcfg))
-            idxs = buckets[hw]
-            if verbose:
-                print(f"  protocol bucket {hw[0]}x{hw[1]}: "
-                      f"{len(idxs)} images", flush=True)
-            for start in range(0, len(idxs), bs):
-                chunk = idxs[start:start + bs]
-                canvases, ids, scales = [], [], []
-                for i in chunk:
-                    rec = dataset[i]
-                    canvas, _, scale = letterbox_protocol(
-                        rec["image"], rec["boxes"], hw, *minmax)
-                    canvases.append(canvas)
-                    ids.append(int(rec["image_id"]))
-                    scales.append(scale)
-                while len(canvases) < bs:  # static batch shape
-                    canvases.append(canvases[-1])
-                    ids.append(-1)
-                    scales.append(1.0)
-                # jit dispatch is async — device handles return immediately
-                yield detect(variables, np.stack(canvases)), ids, scales
+        from concurrent.futures import ThreadPoolExecutor
+
+        # decode + letterbox threads (PIL/libjpeg and the native resize
+        # release the GIL — same worker model as data.DetectionIterator)
+        workers = max(1, cfg.data.host_workers)
+
+        def load(i, hw):
+            rec = dataset[i]
+            canvas, _, scale = letterbox_protocol(
+                rec["image"], rec["boxes"], hw, *minmax)
+            return canvas, int(rec["image_id"]), scale
+
+        with ThreadPoolExecutor(workers) as pool:
+            for hw in sorted(buckets):
+                bcfg = _bucket_cfg(cfg, hw)
+                detect = (detect_fn_for(bcfg) if detect_fn_for is not None
+                          else _detect_u8_fn(bcfg))
+                idxs = buckets[hw]
+                if verbose:
+                    print(f"  protocol bucket {hw[0]}x{hw[1]}: "
+                          f"{len(idxs)} images", flush=True)
+                for start in range(0, len(idxs), bs):
+                    chunk = idxs[start:start + bs]
+                    loaded = list(pool.map(lambda i: load(i, hw), chunk))
+                    canvases = [c for c, _, _ in loaded]
+                    ids = [i for _, i, _ in loaded]
+                    scales = [s for _, _, s in loaded]
+                    while len(canvases) < bs:  # static batch shape
+                        canvases.append(canvases[-1])
+                        ids.append(-1)
+                        scales.append(1.0)
+                    # jit dispatch is async — handles return immediately
+                    yield detect(variables, np.stack(canvases)), ids, scales
 
     def finalize(det, ids, scales):
         boxes = np.asarray(det.boxes)
