@@ -106,6 +106,15 @@ def main():
         # per-image protocol geometry (the parity default): the bucketed
         # evaluator reads min/max from eval_scale_minmax
         overrides["data.eval_scale_minmax"] = (608, 1024)
+        # evaluator-grade candidate budget: the reference's eval branch
+        # keeps EVERY score>0.05 (anchor, class) pair before per-class
+        # NMS; the serving default (pre_nms_top_k=1000, anchor-first
+        # two-stage) truncates dense mid-score regimes and measurably
+        # costs recall there (torchref-mid gate: AR100 −0.027 at k=1000,
+        # exact at the oracle). A parity run is correctness-first — pay
+        # the global sort.
+        overrides["eval.pre_nms_top_k"] = 16384
+        overrides["eval.exact_candidates"] = True
     overrides.update(parse_overrides(args.overrides))
     cfg = get_config(preset, **overrides)
     print(f"preset={preset} depth={args.depth} geometry="
