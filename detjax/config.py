@@ -117,6 +117,11 @@ class TrainConfig:
     # accumulate-over-micro-batches semantics (BN stats per micro-batch,
     # per-micro-batch flip stream), not bit-equality.
     grad_accum_steps: int = 1
+    # Transfer-leak guard (train/loop.py): purge jit caches every N steps
+    # to release h2d argument buffers the axon tunnel's PJRT client pins
+    # per cached executable (+9.45 MB/step measured — OOMs long runs).
+    # 0 = auto: 2500 on the axon backend, off elsewhere; -1 = force off.
+    leak_guard_every: int = 0
     # Exponential moving average of params (0 = off). A standard
     # production-detection accuracy lever the reference lacks: the EMA
     # tree shadows params in TrainState (updated inside the same jit
