@@ -1066,13 +1066,18 @@ def _mid_setup():
       spike poisons them; 16-scene memorization never hits this. 5e-4
       descends smoothly but needs ~6000 steps to clear the train
       AP50>0.3 floor (2500 → 0.168).
-    - 40 classes, not 80: the synthetic palette draws 80 class colors
+    - 12 classes, not 80: the synthetic palette draws 80 class colors
       with 22 pairs closer than 30/255 RGB distance (3 pairs < 15) —
       irreducible class confusion that capped HELD-OUT AP at 0.0165
       (junk-regime territory, defeating this gate's purpose) while
-      recall was fine (AR100 0.216). 40 draws keep multi-class structure
-      with separable colors. (80-class coverage stays with the other
-      torchref gates.)
+      recall was fine (AR100 0.216); 40 classes still held held-out AP
+      to 0.039 at this training budget (and 768 scenes / 9000 steps
+      UNDERFIT even the train set to AP50 0.067 — scene count must stay
+      matched to the step budget). 12 well-separated colors make the
+      classification genuinely learnable, which is what an AP well
+      inside (0.05, 0.95) requires; multi-class structure (per-class
+      NMS, class-aware decode) is still exercised, and 80-class
+      coverage stays with the other torchref gates.
     - the TRAIN stream cycles the same COCO-typical mixed geometries as
       the held-out protocol set — the reference trains on variable-size
       sources too (SURVEY.md §2 #14); an all-640² train set leaves the
@@ -1080,7 +1085,7 @@ def _mid_setup():
     - min object size 1/24 (not 1/32): a 1/32 object on a 375px source
       is ~12px, sub-anchor-stride after the protocol resize's blur."""
     cfg = get_config("retinanet_r50_640", **{
-        "model.num_classes": 40,
+        "model.num_classes": 12,
         "model.frozen_backbone_bn": False,
         "train.batch_size": 8,
         "train.max_gt": 16,
@@ -1091,7 +1096,7 @@ def _mid_setup():
         "eval.batch_size": 8,
     })
     ds = SyntheticDetectionDataset(
-        num_images=768, num_classes=40,
+        num_images=256, num_classes=12,
         max_objects=8, seed=31, size_range=(1.0 / 24.0, 1.0 / 3.0),
         crowd_prob=0.15, image_sizes=COCO_TYPICAL_SIZES)
     return cfg, ds
@@ -1106,13 +1111,11 @@ def gate_torchref_mid():
     three-regime table: train-set (overfit) / mid / junk."""
     from detjax.utils.torch_import import export_full_detector
 
-    # floor 0.15, not 0.3: with 768 distinct scenes the model cannot
-    # memorize, so TRAIN-set AP converges toward held-out AP — the real
+    # floor 0.15, not 0.3: with 256 distinct scenes memorization is
+    # limited, so TRAIN-set AP sits near held-out AP — the real
     # operating-point assert is the held-out 0.05 < AP < 0.95 below.
-    # (256 scenes / 6000 steps: train AP50 0.34 but held-out AP 0.039 —
-    # still memorization-dominated.)
     cfg, _, variables = _trained_once(
-        _MID_TRAINED, _mid_setup, 9000, "torchref-mid", 0.15,
+        _MID_TRAINED, _mid_setup, 6000, "torchref-mid", 0.15,
         "mid_trained.msgpack")
     stages = (3, 4, 6, 3)
     k = cfg.model.num_classes
@@ -1122,7 +1125,7 @@ def gate_torchref_mid():
     # held-out mixed-geometry scenes from the SAME distribution (fresh
     # seed) — the regime where a generalizing model detects at mid scores
     ds_map, img_dir = _mixed_jpeg_dataset(
-        "mid_val", num_images=24, num_classes=40, max_objects=8,
+        "mid_val", num_images=24, num_classes=12, max_objects=8,
         seed=222, size_range=(1.0 / 24.0, 1.0 / 3.0), crowd_prob=0.15,
         image_sizes=COCO_TYPICAL_SIZES)
     fp32_proto, proto_cfg = _proto_cfgs(cfg)
